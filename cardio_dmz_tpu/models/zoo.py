@@ -1,0 +1,150 @@
+"""The five reference model architectures as pure JAX functions.
+
+These are *re-implementations* of the reference's generated Eigen inference
+code (architectures documented in SURVEY.md §2.3), written batch-first so
+that vmap/jit map them onto the MXU:
+
+* vseg strip MLP      204 -> 50 tanh -> 3 softmax     (modelm_befe75da.cpp:1770-1786)
+* slash MLP           176 -> 80 tanh -> 2 softmax     (modelm_730c4cbd.cpp:2386-2429)
+* PAN digit conv (x3) 27x19 -> 8@3x3 (truncated valid 24x15) -> 3x3 maxpool
+                      -> +bias, tanh -> 320 -> 32 tanh -> 10 softmax
+                                                      (modelc_5c241121.cpp:1824-1938)
+* expiry digit conv   16x11 (mean-sub) -> 50@5x5 full -> 2x2 pool -> relu
+                      -> 40@5x5 valid (sum over maps) -> 2x3 pool -> relu
+                      -> 120 -> 176 relu -> 10 softmax
+                                                      (modelc_bf4dd6c8.cpp:12495-13505)
+
+All functions accept a leading batch of arbitrary rank; matmuls run in
+float32 on the MXU (these models are tiny: accuracy parity with the C++
+reference at 1e-5 matters more than bf16 speed here — the batched matmuls
+are small enough to be bandwidth-bound either way).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# These models are parity-anchored to the C++ reference at 1e-5 abs
+# (pass*() self-checks). Default XLA conv/dot precision truncates operands;
+# force full fp32 — the ops are tiny, so this costs nothing.
+_PRECISION = lax.Precision.HIGHEST
+
+
+def _dot(x, w):
+    return jnp.matmul(x, w, precision=_PRECISION)
+
+
+def _tanh(x):
+    # XLA's builtin tanh is a fast rational approximation with up to ~4e-5
+    # absolute error, which breaks 1e-5 golden parity with the reference's
+    # libm tanhf. This exp-based form is good to ~2e-6 and still fuses.
+    ax = jnp.abs(x)
+    t = 1.0 - 2.0 / (jnp.exp(2.0 * ax) + 1.0)
+    return jnp.sign(x) * t
+
+
+def _softmax(logits):
+    # reference computes exp/sum without max subtraction
+    # (modelm_befe75da.cpp:1782-1785); jax.nn.softmax is the numerically
+    # stable equivalent (identical result up to float rounding).
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def apply_mlp(params, x):
+    """Shared MLP apply for vseg (204->50->3) and slash (176->80->2).
+
+    x: (..., n_in) float32. Returns (..., n_out) probabilities.
+    """
+    h = _tanh(_dot(x, params["hidden_w"].T) + params["hidden_b"])
+    logits = _dot(h, params["logistic_w"].T) + params["logistic_b"]
+    return _softmax(logits)
+
+
+def apply_pan_conv(params, img):
+    """PAN digit classifier. img: (..., 27, 19) float32 in [0, 1].
+
+    Conv is a 3x3 valid correlation *truncated to 24x15* (the generated code
+    only computes the top-left 24x15 of the 25x17 valid output —
+    modelc_5c241121.cpp convc loop), then 3x3 non-overlapping maxpool to 8x5,
+    bias + tanh, flattened kernel-major.
+    """
+    if img.shape[-2:] != (27, 19):
+        raise ValueError(
+            f"PAN digit cell must be (..., 27, 19) (H, W); got {img.shape}")
+    batch_shape = img.shape[:-2]
+    x = img.reshape((-1, 1, 27, 19))
+    w = params["conv_w"][:, None, :, :]  # (8, 1, 3, 3) OIHW
+    conv = lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=_PRECISION,
+    )  # (N, 8, 25, 17)
+    conv = conv[:, :, :24, :15]
+    n = conv.shape[0]
+    pooled = conv.reshape(n, 8, 8, 3, 5, 3).max(axis=(3, 5))  # (N, 8k, 8r, 5c)
+    act = _tanh(pooled + params["conv_b"][None, :, None, None])
+    flat = act.reshape(n, 320)  # kernel-major, then row-major: matches Eigen map
+    h = _tanh(_dot(flat, params["hidden_w"].T) + params["hidden_b"])
+    logits = _dot(h, params["logistic_w"].T) + params["logistic_b"]
+    return _softmax(logits).reshape(batch_shape + (10,))
+
+
+def pan_digit_scores(params_a, params_b, params_c, img):
+    """3-model ensemble combine (scan/n_categorize.cpp:45-72).
+
+    score = (r0 + r1 + r2 - max(r0, r1, r2)) / 2 — rewards 3/3 consensus.
+    img: (..., 27, 19) float32. Returns (..., 10) scores.
+    """
+    r0 = apply_pan_conv(params_a, img)
+    r1 = apply_pan_conv(params_b, img)
+    r2 = apply_pan_conv(params_c, img)
+    rmax = jnp.maximum(jnp.maximum(r0, r1), r2)
+    return (r0 + r1 + r2 - rmax) / 2.0
+
+
+def apply_expiry_conv(params, img, return_intermediates=False):
+    """Expiry digit classifier. img: (..., 16, 11) float32 in [0, 1].
+
+    Mean-subtracted input; conv1 is a *full* (zero-padded) 5x5 correlation
+    to 20x14 (modelc_bf4dd6c8.cpp:12500-12635), 2x2 pool, bias+relu;
+    conv2 a valid 5x5 correlation summed over the 50 input maps to 6x3
+    (:12688-12797), 2x3 pool, bias+relu; then 120 -> 176 relu -> 10 softmax.
+    """
+    if img.shape[-2:] != (16, 11):
+        raise ValueError(
+            f"expiry digit cell must be (..., 16, 11) (H, W); got {img.shape}")
+    batch_shape = img.shape[:-2]
+    x = img.reshape((-1, 16, 11))
+    x = x - x.mean(axis=(-1, -2), keepdims=True)
+    x = x[:, None, :, :]  # (N, 1, 16, 11)
+
+    w1 = params["conv1_w"][:, None, :, :]  # (50, 1, 5, 5)
+    c1 = lax.conv_general_dilated(
+        x, w1, window_strides=(1, 1), padding=((4, 4), (4, 3)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=_PRECISION,
+    )  # (N, 50, 20, 14)
+    n = c1.shape[0]
+    p1 = c1.reshape(n, 50, 10, 2, 7, 2).max(axis=(3, 5))  # (N, 50, 10, 7)
+    a1 = jnp.maximum(p1 + params["conv1_b"][None, :, None, None], 0.0)
+
+    w2 = params["conv2_w"]  # (40, 50, 5, 5) OIHW
+    c2 = lax.conv_general_dilated(
+        a1, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=_PRECISION,
+    )  # (N, 40, 6, 3)
+    p2 = c2.reshape(n, 40, 3, 2, 1, 3).max(axis=(3, 5))  # (N, 40, 3, 1)
+    a2 = jnp.maximum(p2.reshape(n, 40, 3) + params["conv2_b"][None, :, None], 0.0)
+
+    flat = a2.reshape(n, 120)  # map-major: matches Eigen 40x3 row-major map
+    h = jnp.maximum(_dot(flat, params["hidden_w"].T) + params["hidden_b"], 0.0)
+    logits = _dot(h, params["logistic_w"].T) + params["logistic_b"]
+    probs = _softmax(logits)
+    if return_intermediates:
+        return (probs.reshape(batch_shape + (10,)),
+                a1.reshape(batch_shape + (50, 10, 7)),
+                a2.reshape(batch_shape + (40, 3)),
+                h.reshape(batch_shape + (176,)))
+    return probs.reshape(batch_shape + (10,))

@@ -1,0 +1,58 @@
+"""Golden model regression tests.
+
+Each reference model ships a baked test input and known-good output which its
+pass*() self-check compares at 1e-5 abs tolerance (e.g. modelc_5c241121.cpp
+passc fn; models/TestGeneratedModels.mm:35-41). We ported those vectors with
+the weights and apply the same tolerance — the strongest parity anchor the
+reference provides.
+"""
+
+import numpy as np
+import pytest
+
+from cardio_dmz_tpu.models import apply_mlp, apply_pan_conv, apply_expiry_conv
+from cardio_dmz_tpu.models.weights import load_params
+
+TOL = 1e-5
+
+
+@pytest.mark.parametrize("name,n_in", [("vseg_mlp", 204), ("slash_mlp", 176)])
+def test_mlp_golden(name, n_in):
+    params = load_params(name, include_test_vectors=True)
+    out = np.asarray(apply_mlp(params, params["test_input"]))
+    expected = np.asarray(params["test_output"])
+    np.testing.assert_allclose(out, expected, atol=TOL)
+
+
+@pytest.mark.parametrize("name", ["pan_conv_a", "pan_conv_b", "pan_conv_c"])
+def test_pan_conv_golden(name):
+    params = load_params(name, include_test_vectors=True)
+    out = np.asarray(apply_pan_conv(params, params["test_input"]))
+    expected = np.asarray(params["test_output"])
+    np.testing.assert_allclose(out, expected, atol=TOL)
+
+
+def test_expiry_conv_golden():
+    params = load_params("expiry_conv", include_test_vectors=True)
+    probs, a1, a2, h = apply_expiry_conv(
+        params, params["test_input"], return_intermediates=True)
+    # intermediate goldens too (modelc_bf4dd6c8.cpp checks conv/hidden layers)
+    np.testing.assert_allclose(
+        np.asarray(a1).reshape(50, 70), np.asarray(params["test_conv1_out"]),
+        atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(a2), np.asarray(params["test_conv2_out"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(h), np.asarray(params["test_hidden_out"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(probs), np.asarray(params["test_output"]), atol=TOL)
+
+
+def test_pan_conv_batched_matches_single():
+    params = load_params("pan_conv_a", include_test_vectors=True)
+    img = np.asarray(params["test_input"])
+    batch = np.stack([img, img * 0.5, np.flipud(img)])
+    out_b = np.asarray(apply_pan_conv(params, batch))
+    for i in range(3):
+        out_s = np.asarray(apply_pan_conv(params, batch[i]))
+        np.testing.assert_allclose(out_b[i], out_s, atol=1e-6)
