@@ -1,0 +1,151 @@
+"""Canny edge detection with aperture-7 Sobel inputs (cv/canny.cpp).
+
+TPU-native dense reformulation of the reference's stack-based algorithm
+(llcv_canny7_precomputed_sobel, cv/canny.cpp:58-336):
+
+* magnitude = |dx| + |dy| (L1, as the reference uses)
+* non-maximum suppression with the exact fixed-point tan(22.5°) sector logic
+  (cv/canny.cpp:222-285), vectorized over the whole image
+* hysteresis as bounded-iteration flood fill: edges = candidate pixels
+  8-connected to a strong pixel. The reference's grow-stack produces the
+  same set (its prev_flag/seed suppression only avoids redundant pushes).
+  We iterate dilate-and-mask to a fixed point with lax.while_loop — each
+  step is one fused 3x3 max, data stays in VMEM.
+
+Adaptive thresholds (llcv_adaptive_canny7_precomputed_sobel,
+cv/canny.cpp:568-580): low = floor(mean(|dx|+|dy|)), high = floor(3 * low_f).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .sobel import sobel7
+
+CANNY_SHIFT = 15
+TG22 = int(0.4142135623730950488016887242097 * (1 << CANNY_SHIFT) + 0.5)
+
+
+def _shift2d(x, di, dj, fill=0):
+    """x shifted so out[i, j] = x[i+di, j+dj], zero fill; supports batch."""
+    out = x
+    if di > 0:
+        out = jnp.concatenate(
+            [out[..., di:, :], jnp.full(out.shape[:-2] + (di, out.shape[-1]), fill, out.dtype)], axis=-2)
+    elif di < 0:
+        out = jnp.concatenate(
+            [jnp.full(out.shape[:-2] + (-di, out.shape[-1]), fill, out.dtype), out[..., :di, :]], axis=-2)
+    if dj > 0:
+        out = jnp.concatenate(
+            [out[..., :, dj:], jnp.full(out.shape[:-2] + (out.shape[-2], dj), fill, out.dtype)], axis=-1)
+    elif dj < 0:
+        out = jnp.concatenate(
+            [jnp.full(out.shape[:-2] + (out.shape[-2], -dj), fill, out.dtype), out[..., :, :dj]], axis=-1)
+    return out
+
+
+def _dilate8(mask):
+    m = mask
+    out = m
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            out = out | _shift2d(m, di, dj)
+    return out
+
+
+def canny_nms(dx, dy, low):
+    """Per-pixel NMS candidate mask using the reference's integer sector
+    logic (cv/canny.cpp:220-285). dx, dy: (..., H, W) int32. Returns bool."""
+    # |dx|,|dy| are int16-saturated (<= 32768), so the sector comparisons fit
+    # in uint32: y<<15 <= 2^30, x*TG22 <= 4.5e8, tg67x <= 2.6e9 < 2^32.
+    x = jnp.abs(dx).astype(jnp.uint32)
+    y = jnp.abs(dy).astype(jnp.uint32) << CANNY_SHIFT
+    m = jnp.abs(dx) + jnp.abs(dy)  # int32 magnitude
+    s = jnp.where((dx ^ dy) < 0, -1, 1)
+
+    tg22x = x * jnp.uint32(TG22)
+    tg67x = tg22x + ((x + x) << CANNY_SHIFT)
+
+    # neighbor magnitudes (zero outside, matching the reference's zero border)
+    m_l = _shift2d(m, 0, -1)
+    m_r = _shift2d(m, 0, 1)
+    m_u = _shift2d(m, -1, 0)
+    m_d = _shift2d(m, 1, 0)
+    # diagonal: above col j-s, below col j+s
+    m_ul = _shift2d(m, -1, -1)
+    m_ur = _shift2d(m, -1, 1)
+    m_dl = _shift2d(m, 1, -1)
+    m_dr = _shift2d(m, 1, 1)
+    m_diag_a = jnp.where(s == 1, m_ul, m_ur)  # above, col j-s
+    m_diag_b = jnp.where(s == 1, m_dr, m_dl)  # below, col j+s
+
+    horiz = y < tg22x
+    vert = y > tg67x
+    keep_h = (m > m_l) & (m >= m_r)
+    keep_v = (m > m_u) & (m >= m_d)
+    keep_d = (m > m_diag_a) & (m > m_diag_b)
+    keep = jnp.where(horiz, keep_h, jnp.where(vert, keep_v, keep_d))
+    return (m > low) & keep
+
+
+def hysteresis(candidate, strong, max_iters=None):
+    """Flood strong through candidate via 8-connectivity to a fixed point."""
+    edge0 = strong & candidate
+
+    def cond(state):
+        edge, changed, _ = state
+        return changed
+
+    def body(state):
+        edge, _, it = state
+        grown = (_dilate8(edge) & candidate) | edge
+        return grown, jnp.any(grown != edge), it + 1
+
+    edge, _, _ = lax.while_loop(cond, body, (edge0, jnp.any(edge0), 0))
+    return edge
+
+
+def canny7_precomputed_sobel(dx, dy, low, high):
+    """Full canny given precomputed aperture-7 sobel dx/dy.
+
+    Returns uint8 edge map (255 = edge), matching
+    llcv_canny7_precomputed_sobel output (cv/canny.cpp:327-335).
+    low/high are the integer thresholds (already floored).
+    """
+    m = jnp.abs(dx) + jnp.abs(dy)
+    candidate = canny_nms(dx, dy, low)
+    strong = candidate & (m > high)
+    edge = hysteresis(candidate, strong)
+    return (edge * jnp.uint8(255)).astype(jnp.uint8)
+
+
+def adaptive_canny7(image, dx=None, dy=None):
+    """llcv_adaptive_canny7_precomputed_sobel (cv/canny.cpp:568-580).
+
+    image: (..., H, W) uint8. dx/dy optional precomputed sobel7 outputs.
+    Returns (edges_u8, dx, dy) — dx/dy are reused by the Hough stage.
+    """
+    if dx is None:
+        dx = sobel7(image, dx=True, dy=False)
+    if dy is None:
+        dy = sobel7(image, dx=False, dy=True)
+    h, w = image.shape[-2], image.shape[-1]
+    n = h * w
+    mean = (jnp.sum(jnp.abs(dx), axis=(-2, -1)) +
+            jnp.sum(jnp.abs(dy), axis=(-2, -1))).astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32) / n
+    low = jnp.floor(mean).astype(jnp.int32)
+    high = jnp.floor(3.0 * mean).astype(jnp.int32)
+    if low.ndim > 0:
+        low = low[..., None, None]
+        high = high[..., None, None]
+    edges = canny7_precomputed_sobel(dx, dy, low, high)
+    return edges, dx, dy
+
+
+def canny7(image, low, high):
+    """llcv_canny7 (cv/canny.cpp:338-352) with explicit thresholds."""
+    dx = sobel7(image, dx=True, dy=False)
+    dy = sobel7(image, dx=False, dy=True)
+    return canny7_precomputed_sobel(dx, dy, int(low), int(high))

@@ -1,0 +1,53 @@
+"""Statistics kernels: focus stddev, histogram equalization, brightness.
+
+cv/stats.cpp equivalents. equalize_hist follows the cvEqualizeHist algorithm
+the reference vendored (cv/stats.cpp:116-159): 256-bin histogram -> CDF ->
+rounded LUT with lut[0] forced to 0.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def stddev_of_abs(x, axes=(-2, -1)):
+    """Population stddev of |x| (llcv_stddev_of_abs, cv/stats.cpp:17-111).
+
+    Note sum of squares uses x^2 == |x|^2, so only the mean uses abs.
+    x: int array. Returns float32 scalar (or batch of scalars).
+    """
+    xf = jnp.abs(x).astype(jnp.float32)
+    n = 1.0
+    for a in axes:
+        n = n * x.shape[a]
+    mean = jnp.sum(xf, axis=axes) / n
+    sumsq = jnp.sum(xf * xf, axis=axes)
+    return jnp.sqrt(sumsq / n - mean * mean)
+
+
+def brightness_mean(x, axes=(-2, -1)):
+    """cvAvg equivalent (dmz_brightness_score_for_image, dmz.cpp:128-135)."""
+    return jnp.mean(x.astype(jnp.float32), axis=axes)
+
+
+def equalize_hist(x):
+    """Histogram equalization of a u8 image (cv/stats.cpp:116-159).
+
+    lut[i] = sat_u8(round(cdf[i] * 255 / N)), lut[0] = 0; rounding is
+    round-half-to-even (cvRound). Histogram is a scatter-add, which XLA
+    lowers efficiently and which batches/shards cleanly.
+    x: (..., H, W) uint8 -> same shape uint8.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    n = h * w
+    batch_shape = x.shape[:-2]
+    flat = x.reshape((-1, n)).astype(jnp.int32)
+
+    def eq_one(v):
+        hist = jnp.zeros((256,), jnp.int32).at[v].add(1)
+        cdf = jnp.cumsum(hist)
+        lut = jnp.clip(jnp.round(cdf.astype(jnp.float32) * (255.0 / n)), 0, 255)
+        lut = lut.astype(jnp.uint8).at[0].set(0)
+        return lut[v]
+
+    out = jax.vmap(eq_one)(flat)
+    return out.reshape(batch_shape + (h, w))

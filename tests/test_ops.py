@@ -1,0 +1,228 @@
+"""Kernel-layer parity tests vs independent numpy oracles.
+
+Mirrors the reference's own TEST_* A/B oracle pattern (SURVEY.md §4.2):
+every jnp kernel must match a scalar implementation written straight from
+the documented algorithm, pixel-exact for integer ops.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import oracles
+from cardio_dmz_tpu import ops
+
+RNG = np.random.RandomState(42)
+
+
+def rand_u8(*shape):
+    return RNG.randint(0, 256, size=shape).astype(np.uint8)
+
+
+def test_morph_grad3_1d():
+    x = rand_u8(408)
+    got = np.asarray(ops.morph_grad3_1d_u8(x))
+    np.testing.assert_array_equal(got, oracles.morph_grad3_1d(x))
+
+
+def test_morph_grad3_1d_batched():
+    x = rand_u8(270, 408)
+    got = np.asarray(ops.morph_grad3_1d_u8(x))
+    expected = np.stack([oracles.morph_grad3_1d(r) for r in x])
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_morph_grad3_2d_cross():
+    x = rand_u8(27, 64)
+    got = np.asarray(ops.morph_grad3_2d_cross_u8(x))
+    np.testing.assert_array_equal(got, oracles.morph_grad3_2d_cross(x))
+
+
+def test_lineardown2():
+    x = rand_u8(408)
+    got = np.asarray(ops.lineardown2_1d_u8(x))
+    np.testing.assert_array_equal(got, oracles.lineardown2_1d(x))
+
+
+def test_norm_convert():
+    x = rand_u8(204)
+    got = np.asarray(ops.norm_convert_minmax(x))
+    np.testing.assert_allclose(got, oracles.norm_convert(x), atol=1e-6)
+    # degenerate: constant input -> all zeros
+    const = np.full((204,), 77, np.uint8)
+    got_c = np.asarray(ops.norm_convert_minmax(const))
+    np.testing.assert_array_equal(got_c, np.zeros((204,), np.float32))
+
+
+def test_split_u8():
+    x = rand_u8(16, 64)
+    c1, c2 = ops.split_u8(x)
+    np.testing.assert_array_equal(np.asarray(c1), x[:, 0::2])
+    np.testing.assert_array_equal(np.asarray(c2), x[:, 1::2])
+
+
+def test_ycbcr_to_rgb_bit_exact():
+    y, cb, cr = rand_u8(32, 48), rand_u8(32, 48), rand_u8(32, 48)
+    got = np.asarray(ops.ycbcr_to_rgb(y, cb, cr))
+    np.testing.assert_array_equal(got, oracles.ycbcr_to_rgb(y, cb, cr))
+    rgba = np.asarray(ops.ycbcr_to_rgb(y, cb, cr, add_alpha=True))
+    assert rgba.shape[-1] == 4
+    np.testing.assert_array_equal(rgba[..., 3], 255)
+
+
+@pytest.mark.parametrize("dx", [True, False])
+def test_sobel7(dx):
+    x = rand_u8(40, 56)
+    got = np.asarray(ops.sobel7(x, dx=dx, dy=not dx))
+    np.testing.assert_array_equal(got, oracles.sobel7(x, dx))
+
+
+def test_sobel3_dx_dy():
+    x = rand_u8(30, 40)
+    got = np.asarray(ops.sobel3_dx_dy(x))
+    np.testing.assert_array_equal(got, oracles.sobel3_dx_dy(x))
+
+
+def test_scharr3_abs():
+    x = rand_u8(24, 32)
+    np.testing.assert_array_equal(
+        np.asarray(ops.scharr3_dx_abs(x)), oracles.scharr3_dx_abs(x))
+    np.testing.assert_array_equal(
+        np.asarray(ops.scharr3_dy_abs(x)), oracles.scharr3_dy_abs(x))
+
+
+def test_equalize_hist():
+    x = rand_u8(27, 19)
+    got = np.asarray(ops.equalize_hist(x))
+    np.testing.assert_array_equal(got, oracles.equalize_hist(x))
+
+
+def test_equalize_hist_batched():
+    x = rand_u8(5, 27, 19)
+    got = np.asarray(ops.equalize_hist(x))
+    expected = np.stack([oracles.equalize_hist(c) for c in x])
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_stddev_of_abs():
+    x = RNG.randint(-3000, 3000, size=(30, 40)).astype(np.int32)
+    got = float(ops.stddev_of_abs(x))
+    assert got == pytest.approx(float(oracles.stddev_of_abs(x)), rel=1e-5)
+
+
+def _smooth_edges_image(h, w, line_row=None, line_col=None):
+    """Low-noise image with a step edge: canny-friendly."""
+    img = np.full((h, w), 60, np.uint8)
+    if line_row is not None:
+        img[line_row:, :] = 190
+    if line_col is not None:
+        img[:, line_col:] = 190
+    noise = RNG.randint(-6, 7, size=(h, w))
+    return np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+
+
+def test_canny_matches_reference_flood():
+    img = _smooth_edges_image(40, 60, line_row=18)
+    dx = np.asarray(ops.sobel7(img, dx=True, dy=False))
+    dy = np.asarray(ops.sobel7(img, dx=False, dy=True))
+    mean = (np.abs(dx).sum() + np.abs(dy).sum()) / img.size
+    low, high = int(math.floor(mean)), int(math.floor(3 * mean))
+    from cardio_dmz_tpu.ops.canny import canny7_precomputed_sobel
+    got = np.asarray(canny7_precomputed_sobel(dx, dy, low, high))
+    expected = oracles.canny_reference(dx, dy, low, high)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_adaptive_canny_runs_and_finds_edge():
+    img = _smooth_edges_image(54, 300, line_row=25)
+    edges, dx, dy = ops.adaptive_canny7(img)
+    edges = np.asarray(edges)
+    # the horizontal step edge must be detected around row 24-26
+    assert edges[23:28, 10:-10].any(axis=0).mean() > 0.9
+    # and almost nothing far away from it
+    assert edges[:15].mean() < 0.05
+
+
+@pytest.mark.parametrize("vertical", [False, True])
+def test_hough_matches_reference(vertical):
+    h, w = 40, 60
+    if vertical:
+        img = _smooth_edges_image(h, w, line_col=33)
+        base = math.pi
+    else:
+        img = _smooth_edges_image(h, w, line_row=21)
+        base = math.pi / 2
+    dx = np.asarray(ops.sobel7(img, dx=True, dy=False))
+    dy = np.asarray(ops.sobel7(img, dx=False, dy=True))
+    mean = (np.abs(dx).sum() + np.abs(dy).sum()) / img.size
+    from cardio_dmz_tpu.ops.canny import canny7_precomputed_sobel
+    edges = np.asarray(canny7_precomputed_sobel(
+        dx, dy, int(math.floor(mean)), int(math.floor(3 * mean))))
+    kwargs = dict(
+        rho=1.0, theta=math.pi / 180, threshold=max(w, h) // 6,
+        theta_min=base - 5 * math.pi / 180, theta_max=base + 5 * math.pi / 180,
+        vertical=vertical, gradient_angle_threshold=10.0)
+    is_null, rho_got, ang_got = ops.hough_best_line(edges, dx, dy, **kwargs)
+    null_ref, rho_ref, ang_ref = oracles.hough_reference(
+        edges, dx, dy, 1.0, math.pi / 180, max(w, h) // 6,
+        kwargs["theta_min"], kwargs["theta_max"], vertical, 10.0)
+    assert bool(is_null) == null_ref
+    if not null_ref:
+        assert float(rho_got) == pytest.approx(rho_ref, abs=1e-3)
+        assert float(ang_got) == pytest.approx(ang_ref, abs=1e-5)
+        # sanity: the line is where we drew it
+        if vertical:
+            assert abs(rho_ref) == pytest.approx(33, abs=2.0)
+        else:
+            assert rho_ref == pytest.approx(21, abs=2.0)
+
+
+def test_warp_identity():
+    img = rand_u8(40, 50)
+    src = np.array([[0, 0], [49, 0], [0, 39], [49, 39]], np.float32)
+    out = np.asarray(ops.unwarp_card(img, src, out_shape=(40, 50)))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_warp_scale():
+    # upscale a 2x2 checkerboard: corners must map exactly
+    img = np.array([[0, 255], [255, 0]], np.uint8)
+    src = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    out = np.asarray(ops.unwarp_card(img, src, out_shape=(11, 11)))
+    assert out[0, 0] == 0 and out[0, 10] == 255
+    assert out[10, 0] == 255 and out[10, 10] == 0
+    assert out[5, 5] in (127, 128)  # bilinear midpoint (127.5 +- solve eps)
+
+
+def test_persp_transform_roundtrip():
+    src = np.array([[10.0, 12.0], [600.0, 20.0], [15.0, 460.0], [610.0, 470.0]],
+                   np.float32)
+    dst = np.array([[0.0, 0.0], [427.0, 0.0], [0.0, 269.0], [427.0, 269.0]],
+                   np.float32)
+    hm = np.asarray(ops.calc_persp_transform(src, dst))
+    for s, d in zip(src, dst):
+        v = hm @ np.array([s[0], s[1], 1.0])
+        np.testing.assert_allclose(v[:2] / v[2], d, atol=1e-2)
+
+
+def test_bilateral_preserves_edges_smooths_noise():
+    img = np.full((16, 11), 40, np.uint8)
+    img[:, 6:] = 200
+    noisy = np.clip(img.astype(int) + RNG.randint(-5, 6, img.shape), 0, 255
+                    ).astype(np.uint8)
+    out = np.asarray(ops.bilateral3x3(noisy))
+    assert out.shape == img.shape
+    # edge magnitude preserved
+    assert abs(int(out[8, 7]) - int(out[8, 4])) > 120
+    # interior noise reduced
+    assert np.std(out[2:-2, 1:4].astype(float)) <= np.std(noisy[2:-2, 1:4].astype(float)) + 1e-6
+
+
+def test_median_blur():
+    img = rand_u8(40, 40)
+    out = ops.median_blur(img, ksize=5)
+    assert out.shape == img.shape
+    # median of a constant region is constant
+    const = np.full((30, 30), 99, np.uint8)
+    np.testing.assert_array_equal(ops.median_blur(const, 5), const)
