@@ -1,0 +1,83 @@
+"""Synthetic card-frame rendering for end-to-end tests.
+
+The reference's conv models were trained on real embossed card digits
+(Farrington 7B). DejaVu Sans Mono at 24px dark-on-card renders digits
+{0,1,3,4,5,8,9} that the ported ensemble classifies correctly, which is
+enough to exercise the full pipeline with Luhn-valid PANs built from that
+alphabet (e.g. 4111111111111111).
+"""
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from cardio_dmz_tpu.constants import PATTERN_MASKS
+
+FONT_PATH = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf"
+FONT_SIZE = 24
+DIGIT_FILL = 60
+CARD_BG = 140
+
+# digits the ported models read reliably in this rendering
+SAFE_DIGITS = (0, 1, 3, 4, 5, 8, 9)
+
+
+def render_digit_cell(digit, seed=0, fill=DIGIT_FILL, bg=CARD_BG):
+    """One 27x19 digit cell (dark digit on card background + mild noise)."""
+    r = np.random.RandomState(seed)
+    img = Image.new("L", (19, 27), bg)
+    draw = ImageDraw.Draw(img)
+    font = ImageFont.truetype(FONT_PATH, FONT_SIZE)
+    s = str(digit)
+    bbox = draw.textbbox((0, 0), s, font=font)
+    w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+    x, y = (19 - w) // 2 - bbox[0], (27 - h) // 2 - bbox[1]
+    draw.text((x, y), s, fill=fill, font=font)
+    a = np.asarray(img).astype(int) + r.randint(-4, 5, (27, 19))
+    return np.clip(a, 0, 255).astype(np.uint8)
+
+
+def render_frame(pan, y0=160, width=18.0, offset=30, seed=0, bg=CARD_BG,
+                 noise=4):
+    """A full 270x428 rectified card frame with `pan` on the PAN row.
+
+    pan: string of 15 (amex spacing) or 16 (visa spacing) digits.
+    """
+    r = np.random.RandomState(seed)
+    y = np.full((270, 428), bg, np.int32)
+    if noise:
+        y += r.randint(-noise, noise + 1, y.shape)
+    pan = str(pan)
+    pattern = PATTERN_MASKS[1] if len(pan) == 16 else PATTERN_MASKS[2]
+    digit_idx = 0
+    for k, m in enumerate(pattern):
+        if not m:
+            continue
+        x0 = offset + int(round(k * width))
+        cell = render_digit_cell(int(pan[digit_idx]), seed=seed * 100 + k, bg=bg)
+        region = y[y0:y0 + 27, x0:x0 + 19]
+        delta = cell.astype(np.int32) - bg
+        y[y0:y0 + 27, x0:x0 + 19] = region + delta
+        digit_idx += 1
+    return np.clip(y, 0, 255).astype(np.uint8)
+
+
+def luhn_check_digit(prefix_digits):
+    """Check digit making prefix+check Luhn-valid."""
+    total = 0
+    n = len(prefix_digits) + 1
+    for i, d in enumerate(prefix_digits):
+        # position from end within full number: n-1-i; doubled if odd
+        mult = 2 if (n - 1 - i) % 2 == 1 else 1
+        a = d * mult
+        total += a % 10 + a // 10
+    return (10 - total % 10) % 10
+
+
+def safe_pan(rng, length=16, prefix=(4,)):
+    """Random Luhn-valid PAN using only SAFE_DIGITS (retry on unsafe check)."""
+    while True:
+        body = [int(rng.choice(SAFE_DIGITS)) for _ in range(length - 1 - len(prefix))]
+        digits = list(prefix) + body
+        c = luhn_check_digit(digits)
+        if c in SAFE_DIGITS:
+            return "".join(map(str, digits + [c]))

@@ -1,0 +1,114 @@
+"""Session state-machine tests: EWMA aggregation, acceptance gates, latch,
+multi-stream vmap."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import synthetic
+from cardio_dmz_tpu.models.weights import load_all_params
+from cardio_dmz_tpu.session import (
+    scan_frames,
+    scanner_reset,
+    scanner_result,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _params():
+    return load_all_params()
+
+
+@functools.lru_cache(maxsize=None)
+def _run_fn():
+    params = _params()
+    return jax.jit(lambda fr: scan_frames(params, fr))
+
+
+def _frames(pan, n=6, noise=1, **kw):
+    return np.stack([synthetic.render_frame(pan, seed=s, noise=noise, **kw)
+                     for s in range(n)])
+
+
+def test_full_scan_accepts_correct_pan():
+    pan = "4111111111111111"
+    frames = _frames(pan, n=6, y0=150, width=18.0, offset=35)
+    state, (frame_results, results) = _run_fn()(frames)
+    assert bool(state.number_complete)
+    got = "".join(map(str, np.asarray(state.completed_digits)[:16]))
+    assert got == pan
+    assert int(state.completed_n) == 16
+    # without expiry scanning the result completes as soon as accepted
+    assert bool(np.asarray(results.complete)[-1])
+    # analytics recorded every non-upside-down frame
+    assert int(state.analytics.n_recorded) == 6
+
+
+def test_acceptance_needs_three_frames():
+    pan = "4111111111111111"
+    frames = _frames(pan, n=2, y0=150, width=18.0, offset=35)
+    state, (_, results) = _run_fn()(frames[:2])
+    # only 2 usable frames -> |c16 - c15| < 3 -> must not complete
+    assert not bool(state.number_complete)
+
+
+def test_wrong_luhn_never_accepted():
+    # digits render reliably but the number fails Luhn -> gate must hold
+    pan = "4111111111111112"
+    frames = _frames(pan, n=6, y0=150, width=18.0, offset=35)
+    state, _ = _run_fn()(frames)
+    assert not bool(state.number_complete)
+
+
+def test_result_latches():
+    pan = "4111111111111111"
+    frames = _frames(pan, n=6, y0=150, width=18.0, offset=35)
+    state, _ = _run_fn()(frames)
+    assert bool(state.number_complete)
+    # feeding garbage afterwards must not un-complete the session
+    rng = np.random.RandomState(0)
+    junk = rng.randint(0, 256, (270, 428)).astype(np.uint8)
+    from cardio_dmz_tpu.session import scanner_step
+    state2, _ = jax.jit(
+        lambda s, y: scanner_step(_params(), s, y))(state, junk)
+    assert bool(state2.number_complete)
+    np.testing.assert_array_equal(np.asarray(state2.completed_digits),
+                                  np.asarray(state.completed_digits))
+
+
+def test_upside_down_frames_not_recorded():
+    pan = "4111111111111111"
+    frames = _frames(pan, n=3, y0=60, width=18.0, offset=35)  # top half
+    state, (fr, _) = _run_fn()(frames[:3])
+    assert int(state.count15) == 0 and int(state.count16) == 0
+    assert int(state.analytics.n_recorded) == 0  # scan.cpp:49-51 early return
+
+
+def test_multi_stream_vmap():
+    """Two concurrent streams, one vmapped session step — the stream-batch
+    axis that shards across chips."""
+    pan_a = "4111111111111111"
+    pan_b = "4530504390541813"
+    fa = _frames(pan_a, n=6, y0=150, width=18.0, offset=35, noise=1)
+    fb = _frames(pan_b, n=6, y0=150, width=18.0, offset=35, noise=2)
+    both = np.stack([fa, fb])  # (2, T, 270, 428)
+
+    params = _params()
+    run = jax.jit(jax.vmap(lambda fr: scan_frames(params, fr)))
+    state, (frame_results, results) = run(both)
+    assert bool(np.asarray(state.number_complete)[0])
+    assert bool(np.asarray(state.number_complete)[1])
+    got_a = "".join(map(str, np.asarray(state.completed_digits)[0][:16]))
+    got_b = "".join(map(str, np.asarray(state.completed_digits)[1][:16]))
+    assert got_a == pan_a
+    assert got_b == pan_b
+
+
+def test_scanner_reset_state_shape():
+    s = scanner_reset()
+    assert s.aggregated15.shape == (16, 10)
+    assert not bool(s.number_complete)
+    s2, result = scanner_result(s)
+    assert not bool(result.complete)
