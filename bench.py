@@ -1,0 +1,78 @@
+"""Benchmark: full scan-pipeline throughput in frames/sec/chip.
+
+Runs the production serving shape — a batch of concurrent camera streams
+stepped through the complete jitted scan pipeline (vseg -> hseg -> 3-conv
+digit ensemble -> session EWMA + acceptance) on one chip — and prints ONE
+JSON line for the driver.
+
+vs_baseline compares against the only published reference number: ~22 fps
+full-pipeline on iPhone 4S (reference eigen.h:15-21; BASELINE.md). The
+TPU north-star is >=1000 frames/sec/chip.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 22.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny sizes for CI smoke")
+    args = ap.parse_args()
+    if args.smoke:
+        args.streams, args.iters, args.warmup = 8, 3, 1
+
+    import jax
+    from cardio_dmz_tpu.models.weights import load_all_params
+    from cardio_dmz_tpu.parallel.streams import (
+        batched_scanner_step, init_stream_states)
+
+    params = load_all_params()
+
+    @jax.jit
+    def step(states, frames):
+        states, (frame_results, results) = batched_scanner_step(
+            params, states, frames)
+        return states, results.complete
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (args.streams, 270, 428)).astype(np.uint8)
+    frames = jax.device_put(frames)
+    states = init_stream_states(args.streams)
+
+    for _ in range(args.warmup):
+        states, complete = step(states, frames)
+    jax.block_until_ready(states)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        states, complete = step(states, frames)
+    jax.block_until_ready(states)
+    elapsed = time.perf_counter() - t0
+
+    n_frames = args.streams * args.iters
+    fps = n_frames / elapsed
+    step_ms = 1000.0 * elapsed / args.iters
+
+    print(f"# device={jax.devices()[0].device_kind} streams={args.streams} "
+          f"iters={args.iters} step={step_ms:.1f}ms",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "scan_pipeline_throughput",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

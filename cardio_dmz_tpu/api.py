@@ -1,0 +1,288 @@
+"""Public API surface — the dmz.h equivalent (reference dmz.h:7-123).
+
+Everything here operates on jnp arrays with static shapes; orientation and
+image geometry are Python-level (static) so each configuration jits once.
+
+Exposed parity surface:
+* focus_score / brightness_score          (dmz.cpp:183-195)
+* detect_edges -> edges + corner points   (dmz.cpp:371-439)
+* transform_card -> rectified 428x270     (dmz.cpp:443-497)
+* blur_card                               (dmz.cpp:499-515)
+* scan_card_image / scanner_* re-exports  (scan/, session/)
+* deinterleave / YCbCr conversions        (ops/convert.py)
+"""
+
+import math
+import typing
+
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import (
+    CARD_HEIGHT,
+    CARD_WIDTH,
+    HORIZONTAL_ANGLE,
+    HORIZONTAL_PERCENT_SLOP,
+    HOUGH_GRADIENT_ANGLE_THRESHOLD,
+    HOUGH_THRESHOLD_LENGTH_DIVISOR,
+    HOUGH_THETA_RES,
+    LANDSCAPE_HORIZONTAL_PERCENT_INSET,
+    LANDSCAPE_SAMPLE_HEIGHT,
+    LANDSCAPE_SAMPLE_WIDTH,
+    LANDSCAPE_VERTICAL_PERCENT_INSET,
+    MAX_ANGLE_DEVIATION,
+    ORIENTATION_LANDSCAPE_LEFT,
+    ORIENTATION_LANDSCAPE_RIGHT,
+    ORIENTATION_PORTRAIT,
+    ORIENTATION_PORTRAIT_UPSIDE_DOWN,
+    PORTRAIT_HORIZONTAL_PERCENT_INSET,
+    PORTRAIT_VERTICAL_PERCENT_INSET,
+    VERTICAL_ANGLE,
+    VERTICAL_PERCENT_SLOP,
+)
+from .ops import (
+    adaptive_canny7,
+    hough_best_line,
+    sobel3_dx_dy,
+    sobel7,
+    stddev_of_abs,
+    brightness_mean,
+    unwarp_card,
+    median_blur,
+)
+from .utils.geometry import parametric_intersect_jax, line_by_shifting_origin_jax
+
+
+# ---------------------------------------------------------------------------
+# focus / brightness scoring
+# ---------------------------------------------------------------------------
+
+def card_rect_for_screen(card_w, card_h, std_w, std_h, actual_w, actual_h):
+    """dmz_card_rect_for_screen (dmz.cpp:137-163). Host-side ints."""
+    if 0 in (card_w, card_h, std_w, std_h, actual_w, actual_h):
+        return (0, 0, 0, 0)
+    if (actual_w, actual_h) == (std_w, std_h):
+        w, h = card_w, card_h
+    else:
+        ratio = min(actual_w / std_w, actual_h / std_h)
+        w, h = int(card_w * ratio), int(card_h * ratio)
+    return ((actual_w - w) // 2, (actual_h - h) // 2, w, h)
+
+
+def _scoring_roi(shape, use_full_image):
+    """dmz_set_roi_for_scoring (dmz.cpp:165-181): center 1/9 of the card."""
+    h, w = shape[-2], shape[-1]
+    if use_full_image:
+        cw, ch = CARD_WIDTH, CARD_HEIGHT
+    else:
+        cw, ch = CARD_WIDTH // 3, CARD_HEIGHT // 3
+    x, y, rw, rh = card_rect_for_screen(
+        cw, ch, LANDSCAPE_SAMPLE_WIDTH, LANDSCAPE_SAMPLE_HEIGHT, w, h)
+    return x, y, rw, rh
+
+
+def focus_score(image, use_full_image=False):
+    """dmz_focus_score (dmz.cpp:183-188): sobel3 cross-derivative stddev on
+    the center ROI. image: (..., H, W) uint8 -> f32 score (higher=sharper)."""
+    x, y, rw, rh = _scoring_roi(image.shape, use_full_image)
+    roi = image[..., y:y + rh, x:x + rw]
+    return stddev_of_abs(sobel3_dx_dy(roi))
+
+
+def brightness_score(image, use_full_image=False):
+    """dmz_brightness_score (dmz.cpp:190-195)."""
+    x, y, rw, rh = _scoring_roi(image.shape, use_full_image)
+    return brightness_mean(image[..., y:y + rh, x:x + rw])
+
+
+# ---------------------------------------------------------------------------
+# edge detection
+# ---------------------------------------------------------------------------
+
+class FoundEdge(typing.NamedTuple):
+    found: jnp.ndarray  # bool
+    rho: jnp.ndarray    # f32 (full-image coords)
+    theta: jnp.ndarray  # f32
+
+
+class CardEdges(typing.NamedTuple):
+    top: FoundEdge
+    bottom: FoundEdge
+    left: FoundEdge
+    right: FoundEdge
+
+
+class CornerPoints(typing.NamedTuple):
+    found_all: jnp.ndarray     # bool
+    top_left: jnp.ndarray      # (2,) f32 (x, y)
+    top_right: jnp.ndarray
+    bottom_left: jnp.ndarray
+    bottom_right: jnp.ndarray
+
+
+def detection_boxes(shape, orientation):
+    """detection_boxes_for_sample (dmz.cpp:279-341). Static host math.
+    Returns dict edge -> (x, y, w, h)."""
+    h, w = shape[-2], shape[-1]
+    width = (h * 4) // 3
+    left_margin = (w - width) // 2
+    w_eff = width
+
+    if orientation in (ORIENTATION_PORTRAIT, ORIENTATION_PORTRAIT_UPSIDE_DOWN):
+        inset_vert = int(round(PORTRAIT_HORIZONTAL_PERCENT_INSET * h))
+        slop_vert = int(round(HORIZONTAL_PERCENT_SLOP * h))
+        inset_horiz = int(round(PORTRAIT_VERTICAL_PERCENT_INSET * w_eff))
+        slop_horiz = int(round(VERTICAL_PERCENT_SLOP * w_eff))
+    elif orientation in (ORIENTATION_LANDSCAPE_LEFT, ORIENTATION_LANDSCAPE_RIGHT):
+        inset_vert = int(round(LANDSCAPE_VERTICAL_PERCENT_INSET * h))
+        slop_vert = int(round(HORIZONTAL_PERCENT_SLOP * h))
+        inset_horiz = int(round(LANDSCAPE_HORIZONTAL_PERCENT_INSET * w_eff))
+        slop_horiz = int(round(VERTICAL_PERCENT_SLOP * w_eff))
+    else:
+        inset_vert = slop_vert = inset_horiz = slop_horiz = 0
+
+    ix, iy, iw, ih = (left_margin, 0, w_eff - 1, h - 1)
+
+    def inset_rect(x, y, rw, rh, dx, dy):
+        return (x + dx, y + dy, rw - 2 * dx, rh - 2 * dy)
+
+    ox, oy, ow, oh = inset_rect(ix, iy, iw, ih,
+                                inset_horiz - slop_horiz, inset_vert - slop_vert)
+    nx, ny, nw, nh = inset_rect(ix, iy, iw, ih,
+                                inset_horiz + slop_horiz, inset_vert + slop_vert)
+    return {
+        "top": (nx, oy, nw, 2 * slop_vert),
+        "bottom": (nx, ny + nh, nw, 2 * slop_vert),
+        "left": (ox, ny, 2 * slop_horiz, nh),
+        "right": (nx + nw, ny, 2 * slop_horiz, nh),
+    }
+
+
+def _best_line_for_band(band, vertical):
+    """best_line_for_sample (dmz.cpp:224-271): sobel7 -> adaptive canny ->
+    angle-constrained gradient-gated hough. Returns (is_null, rho, theta)."""
+    dx = sobel7(band, dx=True, dy=False)
+    dy = sobel7(band, dx=False, dy=True)
+    edges, dx, dy = adaptive_canny7(band, dx, dy)
+    h, w = band.shape[-2], band.shape[-1]
+    threshold = max(w, h) // HOUGH_THRESHOLD_LENGTH_DIVISOR
+    base = VERTICAL_ANGLE if vertical else HORIZONTAL_ANGLE
+    return hough_best_line(
+        edges, dx, dy,
+        rho=1.0, theta=HOUGH_THETA_RES, threshold=threshold,
+        theta_min=base - MAX_ANGLE_DEVIATION,
+        theta_max=base + MAX_ANGLE_DEVIATION,
+        vertical=vertical,
+        gradient_angle_threshold=HOUGH_GRADIENT_ANGLE_THRESHOLD,
+    )
+
+
+def _find_edge(samples, boxes, edge_name, vertical, rho_multipliers):
+    """find_line_in_detection_rects (dmz.cpp:346-369): try Y, Cb, Cr planes;
+    first found wins. All three run in parallel on TPU; selection is a
+    where-chain in found-priority order."""
+    found = jnp.zeros((), bool)
+    rho_out = jnp.zeros((), jnp.float32)
+    theta_out = jnp.zeros((), jnp.float32)
+    for sample, box_set, mult in zip(samples, boxes, rho_multipliers):
+        x, y, w, h = box_set[edge_name]
+        band = sample[y:y + h, x:x + w]
+        is_null, rho, theta = _best_line_for_band(band, vertical)
+        rho, theta = line_by_shifting_origin_jax(rho, theta, x, y)
+        rho = rho * mult
+        take = ~is_null & ~found
+        rho_out = jnp.where(take, rho, rho_out)
+        theta_out = jnp.where(take, theta, theta_out)
+        found = found | ~is_null
+    return FoundEdge(found=found, rho=rho_out, theta=theta_out)
+
+
+def detect_edges(y_sample, cb_sample, cr_sample,
+                 orientation=ORIENTATION_LANDSCAPE_RIGHT):
+    """dmz_detect_edges (dmz.cpp:371-439).
+
+    y_sample: (H, W) u8 (e.g. 480x640); cb/cr: (H/2, W/2) u8.
+    Returns (CardEdges, CornerPoints); corner coords are in Y-plane scale
+    (cb/cr rho values are pre-multiplied by 2, dmz.cpp:383).
+    """
+    samples = (y_sample, cb_sample, cr_sample)
+    boxes = [detection_boxes(s.shape, orientation) for s in samples]
+    mults = (1.0, 2.0, 2.0)
+
+    top = _find_edge(samples, boxes, "top", False, mults)
+    bottom = _find_edge(samples, boxes, "bottom", False, mults)
+    left = _find_edge(samples, boxes, "left", True, mults)
+    right = _find_edge(samples, boxes, "right", True, mults)
+    edges = CardEdges(top=top, bottom=bottom, left=left, right=right)
+
+    def isect(l1, l2):
+        ok, x, y = parametric_intersect_jax(l1.rho, l1.theta, l2.rho, l2.theta)
+        return ok, jnp.stack([x, y])
+
+    ok_tl, tl = isect(top, left)
+    ok_bl, bl = isect(bottom, left)
+    ok_tr, tr = isect(top, right)
+    ok_br, br = isect(bottom, right)
+    all_found = (top.found & bottom.found & left.found & right.found &
+                 ok_tl & ok_bl & ok_tr & ok_br)
+    corners = CornerPoints(found_all=all_found, top_left=tl, top_right=tr,
+                           bottom_left=bl, bottom_right=br)
+    return edges, corners
+
+
+# ---------------------------------------------------------------------------
+# transform
+# ---------------------------------------------------------------------------
+
+def transform_card(sample, corner_points: CornerPoints,
+                   orientation=ORIENTATION_LANDSCAPE_RIGHT, upsample=False):
+    """dmz_transform_card (dmz.cpp:443-497): orientation-dependent corner
+    ordering, then perspective warp to 428x270.
+
+    sample: (H, W) u8 plane. upsample=True for half-size CbCr planes
+    (corner coords are halved — dmz.cpp:473-481; there is no GL
+    "auto-upsample" path on TPU)."""
+    cp = corner_points
+    order = {
+        ORIENTATION_PORTRAIT: (cp.bottom_left, cp.top_left,
+                               cp.bottom_right, cp.top_right),
+        ORIENTATION_LANDSCAPE_LEFT: (cp.bottom_right, cp.bottom_left,
+                                     cp.top_right, cp.top_left),
+        ORIENTATION_LANDSCAPE_RIGHT: (cp.top_left, cp.top_right,
+                                      cp.bottom_left, cp.bottom_right),
+        ORIENTATION_PORTRAIT_UPSIDE_DOWN: (cp.top_right, cp.bottom_right,
+                                           cp.top_left, cp.bottom_left),
+    }[orientation]
+    src = jnp.stack(order)  # (4, 2) in (x, y); tl,tr,bl,br of the card
+    if upsample:
+        src = src / 2.0
+    return unwarp_card(sample, src, out_shape=(CARD_HEIGHT, CARD_WIDTH))
+
+
+def blur_card(card_rgb, state, unblur_digits=4):
+    """dmz_blur_card (dmz.cpp:499-515): median-blur digit cells except the
+    last `unblur_digits`. Host-side cosmetic op on numpy images.
+
+    card_rgb: (270, 428[, C]) numpy u8; state: ScannerState (host values).
+    """
+    if unblur_digits < 0:
+        return card_rgb
+    img = np.array(card_rgb)
+    n = int(state.last_n_offsets)
+    blur_count = n - unblur_digits
+    offsets = np.asarray(state.last_offsets)
+    width = int(round(float(state.last_number_width)))
+    y0 = int(state.last_vseg_y)
+    from .constants import NUMBER_HEIGHT
+    for i in range(min(n, blur_count)):
+        x = int(offsets[i]) - 1
+        y = y0 - 1
+        w = width + 2
+        h = NUMBER_HEIGHT + 2
+        if i < 4:
+            h *= 2  # blur smaller four digits below first bucket (dmz.cpp:508)
+        x0c, y0c = max(x, 0), max(y, 0)
+        roi = img[y0c:y + h, x0c:x + w]
+        if roi.size:
+            img[y0c:y + h, x0c:x + w] = median_blur(roi, 25)
+    return img

@@ -1,0 +1,53 @@
+"""Multi-stream batched scanning — the production serving shape.
+
+256 concurrent 30 fps camera streams per chip in ONE jitted graph
+(BASELINE.md north-star): the scanner session is a pure step function, so
+the whole fleet is `vmap(scanner_step)` with the stream axis sharded over
+the mesh's data axis. No host round-trips: frames in, per-stream results +
+carried states out.
+"""
+
+import jax
+
+from ..session.state import scanner_reset, scanner_step, scan_frames
+from .mesh import replicated, stream_sharding
+
+
+def init_stream_states(n_streams):
+    """Fresh per-stream ScannerStates, stream-major."""
+    return jax.vmap(lambda _: scanner_reset())(jax.numpy.arange(n_streams))
+
+
+def batched_scanner_step(params, states, frames, scan_expiry=False):
+    """One step for every stream. frames: (S, 270, 428) u8;
+    states: stream-major ScannerState pytree. Returns (states, (frame
+    results, scanner results)) all stream-major."""
+    def step(state, y):
+        return scanner_step(params, state, y, scan_expiry)
+    return jax.vmap(step)(states, frames)
+
+
+def batched_scan_frames(params, frames, scan_expiry=False):
+    """Whole sessions for a (S, T, 270, 428) frame tensor: vmap over
+    streams, lax.scan over time."""
+    return jax.vmap(lambda fr: scan_frames(params, fr, scan_expiry))(frames)
+
+
+def make_sharded_step(params, mesh, scan_expiry=False):
+    """Jit batched_scanner_step with stream-sharded in/out and replicated
+    params over `mesh`. Returns (step_fn, place_frames, init_states_fn)."""
+    s_sh = stream_sharding(mesh)
+    r_sh = replicated(mesh)
+    params = jax.device_put(params, r_sh)
+
+    @jax.jit
+    def step(states, frames):
+        return batched_scanner_step(params, states, frames, scan_expiry)
+
+    def place(x):
+        return jax.device_put(x, s_sh)
+
+    def init(n_streams):
+        return place(init_stream_states(n_streams))
+
+    return step, place, init

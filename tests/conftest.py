@@ -3,12 +3,20 @@ import sys
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs the
-# multi-chip path). Must be set before jax is imported.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# multi-chip path). NOTE: the axon TPU plugin ignores the JAX_PLATFORMS env
+# var, so the platform must be forced through jax.config before any backend
+# initialization.
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
