@@ -81,3 +81,30 @@ def safe_pan(rng, length=16, prefix=(4,)):
         c = luhn_check_digit(digits)
         if c in SAFE_DIGITS:
             return "".join(map(str, digits + [c]))
+
+
+def render_text_small(y, text, y0, x0, size=15, fill=DIGIT_FILL, spacing=None):
+    """Render small text (e.g. an expiry "08/27") onto frame y in place.
+    spacing: fixed char advance (None = natural font advance)."""
+    from PIL import Image, ImageDraw, ImageFont
+    font = ImageFont.truetype(FONT_PATH, size)
+    img = Image.fromarray(y)
+    draw = ImageDraw.Draw(img)
+    if spacing is None:
+        draw.text((x0, y0), text, fill=fill, font=font)
+    else:
+        for i, ch in enumerate(text):
+            draw.text((x0 + i * spacing, y0), ch, fill=fill, font=font)
+    return np.asarray(img).copy()
+
+
+def render_frame_with_expiry(pan, expiry_text, y0=150, width=18.0, offset=30,
+                             expiry_y=None, expiry_x=120, seed=0, bg=CARD_BG,
+                             noise=1, expiry_size=15, expiry_spacing=12):
+    """Card frame with a PAN row and an expiry line below it."""
+    y = render_frame(pan, y0=y0, width=width, offset=offset, seed=seed,
+                     bg=bg, noise=noise)
+    if expiry_y is None:
+        expiry_y = y0 + 27 + 35
+    return render_text_small(y, expiry_text, expiry_y, expiry_x,
+                             size=expiry_size, spacing=expiry_spacing)
