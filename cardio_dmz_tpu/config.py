@@ -1,0 +1,55 @@
+"""Configuration / feature-flag system.
+
+The reference's flag system is entirely preprocessor-based: platform triad
+IOS_DMZ/ANDROID_DMZ/CYTHON_DMZ, SCAN_EXPIRY, DMZ_DEBUG, DMZ_TRACE,
+per-kernel TEST_*/TIME_* (compile.h:10-26, SURVEY.md §5). Here it is a
+frozen dataclass threaded explicitly (static under jit — each distinct
+config compiles its own graph, the jit-native analogue of #ifdef).
+
+Tunable algorithm constants keep their reference names/values in
+constants.py; this config gates *features*.
+"""
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    # feature gates (compile.h flags)
+    scan_expiry: bool = True          # SCAN_EXPIRY
+    collect_card_number: bool = True
+    scan_forever: bool = False        # SCAN_FOREVER (scan.cpp:13): never
+    #                                   complete — steady-state profiling
+    debug: bool = False               # DMZ_DEBUG
+    trace: bool = False               # DMZ_TRACE
+
+    # execution
+    use_pallas: bool = True           # pallas fast paths where available
+    interpret_pallas: bool = False    # pallas interpret mode (CPU testing)
+
+    # serving shape
+    n_streams: int = 256              # concurrent camera streams per chip
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = ScanConfig()
+
+
+def config_from_env(prefix="CARDIO_") -> ScanConfig:
+    """Build a config from CARDIO_* environment variables (the deployment
+    analogue of compile-time -D flags)."""
+    kw = {}
+    for f in dataclasses.fields(ScanConfig):
+        env = os.environ.get(prefix + f.name.upper())
+        if env is None:
+            continue
+        if f.type is bool or isinstance(f.default, bool):
+            kw[f.name] = env.lower() in ("1", "true", "yes", "on")
+        elif isinstance(f.default, int):
+            kw[f.name] = int(env)
+        else:
+            kw[f.name] = env
+    return ScanConfig(**kw)
