@@ -22,9 +22,11 @@ BASELINE_FPS = 22.0
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--streams", type=int, default=256)
+    ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--expiry", action="store_true",
+                    help="include the in-graph expiry path")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny sizes for CI smoke")
     args = ap.parse_args()
@@ -41,7 +43,7 @@ def main():
     @jax.jit
     def step(states, frames):
         states, (frame_results, results) = batched_scanner_step(
-            params, states, frames)
+            params, states, frames, scan_expiry=args.expiry)
         return states, results.complete
 
     rng = np.random.RandomState(0)
@@ -64,7 +66,7 @@ def main():
     step_ms = 1000.0 * elapsed / args.iters
 
     print(f"# device={jax.devices()[0].device_kind} streams={args.streams} "
-          f"iters={args.iters} step={step_ms:.1f}ms",
+          f"iters={args.iters} step={step_ms:.1f}ms expiry={args.expiry}",
           file=sys.stderr)
     print(json.dumps({
         "metric": "scan_pipeline_throughput",

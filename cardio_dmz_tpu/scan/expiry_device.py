@@ -1,0 +1,630 @@
+"""Expiry segmentation + categorization — fully jittable device path.
+
+The reference's expiry pipeline is deeply sequential (sorts, greedy masks,
+recursion — scan/expiry_seg.cpp:386-704). This module re-expresses every
+stage under static shapes so the WHOLE card read (PAN + expiry) is one XLA
+program that vmaps over streams:
+
+* stripe selection      -> dense candidate scoring + 3x iterated argmax
+* greedy non-overlap    -> iterated parallel local-maxima selection over the
+                           interval graph (provably equal to take-best-first)
+* grouping              -> run-length labeling on the accepted-rect sequence
+* whitespace stripping  -> (start, count) contraction loop, bounded
+* regrid                -> dense (spacing x phase) grid scoring
+* char trimming         -> fixed-bound shave loops, vmapped over chars
+* slash anchoring       -> batched slash-MLP over all window middles
+* cross-frame merge     -> fixed 4-slot group table with masked EWMA
+
+Fixed caps (all generous vs real cards): 3 stripes, 4 groups/frame,
+16 chars/group, 4 MM/YY windows/frame, 4 aggregated slots.
+
+Host oracle: expiry_seg_host.py / expiry_categorize_host.py (tested
+equivalent on synthetic frames).
+"""
+
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..constants import (
+    CARD_HEIGHT,
+    CARD_WIDTH,
+    EXPIRY_DECAY_FACTOR,
+    EXPIRY_MIN_STABILITY,
+    NUMBER_HEIGHT,
+)
+from ..models import apply_mlp, apply_expiry_conv
+from ..ops import bilateral3x3, equalize_hist, morph_grad3_2d_cross_u8
+
+SMALL_W = 9
+SMALL_H = 15
+TRIM_W = 11
+TRIM_H = 16
+BAND_H = SMALL_H + 2          # 17
+MAX_STRIPES = 3
+MAX_GROUPS = 4                # processed local groups per frame
+MAX_CHARS = 16                # chars per group
+MAX_WINDOWS = 4               # emitted MM/YY windows per frame
+MAX_SLOTS = 4                 # aggregated cross-frame group slots
+N_RECT_POS = CARD_WIDTH - SMALL_W + 1   # 420 sliding rect positions
+EXPANDED_W = 18               # char trim crop (max char_width 14 + 4)
+EXPANDED_H = 21               # height 17 + 4
+V_ALLOW = TRIM_H // 2         # coalescing tolerances
+H_ALLOW = TRIM_W // 2
+MIN_SEEN = 3
+
+
+class ExpiryWindows(typing.NamedTuple):
+    """Per-frame MM/YY candidate windows (fixed MAX_WINDOWS slots)."""
+    valid: jnp.ndarray       # (W,) bool
+    top: jnp.ndarray         # (W,) int32 group top (min char top)
+    left: jnp.ndarray        # (W,) int32 first char left
+    char_tops: jnp.ndarray   # (W, 5) int32
+    char_lefts: jnp.ndarray  # (W, 5) int32
+
+
+class ExpiryState(typing.NamedTuple):
+    """Cross-frame aggregated group table (the GroupedRectsList role)."""
+    active: jnp.ndarray      # (S,) bool
+    top: jnp.ndarray         # (S,) int32
+    left: jnp.ndarray        # (S,) int32
+    scores: jnp.ndarray      # (S, 5, 10) f32
+    recently_seen: jnp.ndarray  # (S,) int32
+    total_seen: jnp.ndarray  # (S,) int32
+
+
+def expiry_state_init() -> ExpiryState:
+    z = jnp.zeros((MAX_SLOTS,), jnp.int32)
+    return ExpiryState(
+        active=jnp.zeros((MAX_SLOTS,), bool),
+        top=z, left=z,
+        scores=jnp.zeros((MAX_SLOTS, 5, 10), jnp.float32),
+        recently_seen=z, total_seen=z,
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage A: scharr |dx| below the PAN (ROI-clamped like the reference)
+# ---------------------------------------------------------------------------
+
+def scharr_dx_abs_below(y_img, y_start):
+    """expiry_seg.cpp:714-739 with the ROI realized as masking + boundary
+    clamp at the dynamic row y_start (= vseg_y + 27)."""
+    xi = y_img.astype(jnp.int32)
+    left = jnp.concatenate([xi[:, :1], xi[:, :-1]], axis=1)
+    right = jnp.concatenate([xi[:, 1:], xi[:, -1:]], axis=1)
+    d = jnp.abs(right - left)
+    rows = jnp.arange(CARD_HEIGHT)[:, None]
+    d = jnp.where(rows >= y_start, d, 0)
+    up = jnp.concatenate([d[:1], d[:-1]], axis=0)
+    up = jnp.where(rows <= y_start, d, up)  # clamp at the ROI top
+    dn = jnp.concatenate([d[1:], d[-1:]], axis=0)
+    out = 3 * (up + dn) + 10 * d
+    return jnp.where(rows >= y_start, out, 0)
+
+
+# ---------------------------------------------------------------------------
+# stage B/C: stripe scoring + top-3 selection
+# ---------------------------------------------------------------------------
+
+def select_stripes(sobel, y_start):
+    """expiry_seg.cpp:745-871. Returns (bases (3,), sums (3,), valid (3,))."""
+    left_edge = SMALL_W * 3
+    right_edge = (CARD_WIDTH * 2) // 3
+    ls = jnp.sum(sobel[:, left_edge:right_edge], axis=1)  # (270,) int32
+
+    first_base = y_start + 1
+    last_base = CARD_HEIGHT - (SMALL_H + 1)
+
+    # stripe_line[b, k] = ls[b + k] for k < 15 (+1 lookahead for the
+    # interior dim check)
+    idx = jnp.arange(CARD_HEIGHT)[:, None] + jnp.arange(SMALL_H)[None, :]
+    line = jnp.where(idx < CARD_HEIGHT, ls[jnp.clip(idx, 0, CARD_HEIGHT - 1)], 0)
+    totals = jnp.sum(line, axis=1)
+    thr = jnp.max(line, axis=1) // 2
+
+    top_ok = (line[:, 0] + line[:, 1]) >= thr
+    bot_ok = (line[:, SMALL_H - 2] + line[:, SMALL_H - 1]) >= thr
+    # interior: bad iff line[k] < thr and line[k+1] < thr for any k in 1..12
+    interior_bad = jnp.zeros(CARD_HEIGHT, bool)
+    for k in range(1, SMALL_H - 2):
+        interior_bad = interior_bad | ((line[:, k] < thr) &
+                                       (line[:, k + 1] < thr))
+
+    bases = jnp.arange(CARD_HEIGHT)
+    valid = ((bases >= first_base) & (bases < last_base) &
+             top_ok & bot_ok & ~interior_bad)
+    masked_totals = jnp.where(valid, totals, -1)
+
+    sel_base = jnp.zeros((MAX_STRIPES,), jnp.int32)
+    sel_sum = jnp.zeros((MAX_STRIPES,), jnp.int32)
+    sel_ok = jnp.zeros((MAX_STRIPES,), bool)
+    for s in range(MAX_STRIPES):
+        best = jnp.argmax(masked_totals)
+        ok = masked_totals[best] > -1
+        sel_base = sel_base.at[s].set(best.astype(jnp.int32))
+        sel_sum = sel_sum.at[s].set(totals[best].astype(jnp.int32))
+        sel_ok = sel_ok.at[s].set(ok)
+        overlap = jnp.abs(bases - best) < SMALL_H
+        masked_totals = jnp.where(overlap, -1, masked_totals)
+    return sel_base, sel_sum, sel_ok
+
+
+# ---------------------------------------------------------------------------
+# stage D: per-stripe character group extraction
+# ---------------------------------------------------------------------------
+
+def _nonoverlap_select(rect_sums, cand):
+    """Greedy take-best-first over the 9-wide interval graph, as iterated
+    parallel local-maxima (equivalent result, O(rounds) fused sweeps
+    instead of a 420-step serial loop).
+
+    rect_sums: (420,) int32; cand: (420,) bool. Returns accepted (420,) bool.
+    """
+    # strict total order: sum desc, then left asc (deterministic tie-break).
+    # rect sums <= 4080*9*17 ~ 6.2e5, so sum*1024 + 1023 fits int32.
+    key = rect_sums.astype(jnp.int32) * 1024 + (1023 - jnp.arange(N_RECT_POS))
+    neg = jnp.int32(-1)
+
+    def window_max(k):
+        # max over positions within +-8 (overlapping rects)
+        pad = jnp.full((SMALL_W - 1,), neg, jnp.int32)
+        kp = jnp.concatenate([pad, k, pad])
+        m = k
+        for o in range(1, SMALL_W):
+            m = jnp.maximum(m, kp[SMALL_W - 1 - o:SMALL_W - 1 - o + N_RECT_POS])
+            m = jnp.maximum(m, kp[SMALL_W - 1 + o:SMALL_W - 1 + o + N_RECT_POS])
+        return m
+
+    def body(state):
+        accepted, alive, _ = state
+        k = jnp.where(alive, key, neg)
+        is_max = alive & (k == window_max(k)) & (k > neg)
+        accepted = accepted | is_max
+        # kill everything overlapping a newly accepted rect
+        killed = jnp.zeros((N_RECT_POS,), bool)
+        padm = jnp.concatenate([jnp.zeros((SMALL_W - 1,), bool), is_max,
+                                jnp.zeros((SMALL_W - 1,), bool)])
+        for o in range(-(SMALL_W - 1), SMALL_W):
+            killed = killed | padm[SMALL_W - 1 + o:SMALL_W - 1 + o + N_RECT_POS]
+        alive = alive & ~killed
+        return accepted, alive, jnp.any(is_max)
+
+    def cond(state):
+        _, alive, progressed = state
+        return jnp.any(alive) & progressed
+
+    accepted0 = jnp.zeros((N_RECT_POS,), bool)
+    accepted, _, _ = lax.while_loop(
+        cond, body, (accepted0, cand, jnp.asarray(True)))
+    return accepted
+
+
+def _whitespace_strip(sums, start, count):
+    """strip_group_white_space (expiry_seg.cpp:107-133) on a contiguous
+    (start, count) run within fixed `sums`. Returns (start, count)."""
+    n = sums.shape[0]
+
+    def cond(sc):
+        s, c = sc
+        idx = s + (c - 4) // 2
+        mid = (sums[idx] + sums[jnp.clip(idx + 1, 0, n - 1)] +
+               sums[jnp.clip(idx + 2, 0, n - 1)] +
+               sums[jnp.clip(idx + 3, 0, n - 1)]) // 4
+        thr = (mid.astype(jnp.float32) * 0.8).astype(jnp.int32)
+        first_dim = sums[s] < thr
+        last_dim = sums[jnp.clip(s + c - 1, 0, n - 1)] < thr
+        return (c > 5) & (first_dim | last_dim)
+
+    def body(sc):
+        s, c = sc
+        idx = s + (c - 4) // 2
+        mid = (sums[idx] + sums[jnp.clip(idx + 1, 0, n - 1)] +
+               sums[jnp.clip(idx + 2, 0, n - 1)] +
+               sums[jnp.clip(idx + 3, 0, n - 1)]) // 4
+        thr = (mid.astype(jnp.float32) * 0.8).astype(jnp.int32)
+        first_dim = sums[s] < thr
+        s2 = jnp.where(first_dim, s + 1, s)
+        return s2, c - 1
+
+    return lax.while_loop(cond, body, (start, count))
+
+
+def _regrid(col_sums_full, bounds_left, bounds_width, n_min=11, n_max=15):
+    """regrid_group grid search + regridded sums (expiry_seg.cpp:174-241).
+
+    col_sums_full: (428,) int64 column sums over the group's rows.
+    Returns (char_lefts (MAX_CHARS,), char_sums, n_chars, spacing).
+    """
+    max_k = CARD_WIDTH // n_min + 1  # 39 gridlines max
+
+    # col_sums relative to bounds_left, invalid -> 0
+    rel = jnp.arange(CARD_WIDTH)
+    abs_idx = jnp.clip(bounds_left + rel, 0, CARD_WIDTH - 1)
+    cs = jnp.where(rel < bounds_width, col_sums_full[abs_idx], 0)
+    group_sum = jnp.sum(cs).astype(jnp.float32)
+    csum = jnp.concatenate([jnp.zeros((1,), cs.dtype), jnp.cumsum(cs)])
+    min_lines = bounds_width // n_min
+
+    spacings = jnp.arange(n_min, n_max + 1)              # (5,)
+    phases = jnp.arange(n_max)                           # (15,)
+    ks = jnp.arange(max_k)                               # (39,)
+    # gridline columns: phase + k*spacing  -> (5, 15, 39)
+    cols = phases[None, :, None] + ks[None, None, :] * spacings[:, None, None]
+    in_b = cols < bounds_width
+    vals = jnp.where(in_b, cs[jnp.clip(cols, 0, CARD_WIDTH - 1)], 0)
+    n_lines = jnp.sum(in_b, axis=-1)
+    line_sum = jnp.sum(vals, axis=-1).astype(jnp.float32)
+    avg = line_sum / jnp.maximum(n_lines, 1)
+    eff = avg * min_lines
+    ratio = eff / jnp.maximum(group_sum - eff, 1e-6)
+    phase_ok = phases[None, :] < spacings[:, None]
+    ratio = jnp.where(phase_ok, ratio, jnp.inf)
+    flat = jnp.argmin(ratio.reshape(-1))   # spacing-major, phase-minor order
+    si = flat // n_max
+    phase = (flat % n_max).astype(jnp.int32)
+    spacing = (n_min + si).astype(jnp.int32)
+
+    # regridded rects: off = phase + k*spacing while off + 1 < bounds_width
+    offs = phase + jnp.arange(MAX_CHARS) * spacing
+    char_valid = offs + 1 < bounds_width
+    seg_end = jnp.minimum(offs + spacing, bounds_width)
+    char_sums = csum[jnp.clip(seg_end, 0, CARD_WIDTH)] - \
+        csum[jnp.clip(offs + 1, 0, CARD_WIDTH)]
+    char_sums = jnp.where(char_valid, char_sums, 0)
+    char_lefts = bounds_left + offs + 1
+    n_chars = jnp.sum(char_valid.astype(jnp.int32))
+    return char_lefts.astype(jnp.int32), char_sums.astype(jnp.int32), \
+        n_chars, spacing
+
+
+def _trim_char(sobel, char_left, group_top, char_width):
+    """optimize_character_rects inner loop for one char
+    (expiry_seg.cpp:255-331). Returns (top, left, valid)."""
+    cw = char_width + 4          # dynamic, <= 18
+    ch = EXPANDED_H              # height always 17 + 4
+    left0 = char_left - 2
+    top0 = group_top - 2
+    valid = (left0 >= 0) & (left0 + cw <= CARD_WIDTH) & \
+        (top0 + ch <= CARD_HEIGHT) & (top0 >= 0)
+
+    crop = lax.dynamic_slice(
+        sobel, (jnp.clip(top0, 0, CARD_HEIGHT - EXPANDED_H),
+                jnp.clip(left0, 0, CARD_WIDTH - EXPANDED_W)),
+        (EXPANDED_H, EXPANDED_W)).astype(jnp.float32)
+    col_in = jnp.arange(EXPANDED_W) < cw
+    crop = jnp.where(col_in[None, :], crop, 0.0)
+
+    m = jnp.max(jnp.abs(crop))
+    crop = jnp.where(m > 0, jnp.round(crop * (255.0 / jnp.maximum(m, 1e-6))),
+                     crop)
+    crop = jnp.where(crop > 100, crop, 0.0)
+
+    col_sums = jnp.sum(crop, axis=0)
+    lc0 = jnp.asarray(0, jnp.int32)
+    rc0 = (cw - 1).astype(jnp.int32)
+
+    def col_body(i, lr):
+        lc, rc = lr
+        need = (rc - lc + 1) > TRIM_W
+        shift_left = col_sums[lc] <= col_sums[rc]
+        lc2 = jnp.where(need & shift_left, lc + 1, lc)
+        rc2 = jnp.where(need & ~shift_left, rc - 1, rc)
+        return lc2, rc2
+
+    lc, rc = lax.fori_loop(0, EXPANDED_W - TRIM_W, col_body, (lc0, rc0))
+
+    cols = jnp.arange(EXPANDED_W)
+    row_mask = (cols >= lc) & (cols <= rc)
+    row_sums = jnp.sum(jnp.where(row_mask[None, :], crop, 0.0), axis=1)
+    tr0 = jnp.asarray(0, jnp.int32)
+    br0 = jnp.asarray(EXPANDED_H - 1, jnp.int32)
+
+    def row_body(i, tb):
+        tr, br = tb
+        need = (br - tr + 1) > TRIM_H
+        shift_top = row_sums[tr] <= row_sums[br]
+        tr2 = jnp.where(need & shift_top, tr + 1, tr)
+        br2 = jnp.where(need & ~shift_top, br - 1, br)
+        return tr2, br2
+
+    tr, br = lax.fori_loop(0, EXPANDED_H - TRIM_H, row_body, (tr0, br0))
+    return (top0 + tr).astype(jnp.int32), (left0 + lc).astype(jnp.int32), valid
+
+
+def _slash_prob(slash_params, sobel, top, left):
+    """is_slash input prep (expiry_seg.cpp:29-54): 11x16 sobel crop / 255."""
+    crop = lax.dynamic_slice(
+        sobel, (jnp.clip(top, 0, CARD_HEIGHT - TRIM_H),
+                jnp.clip(left, 0, CARD_WIDTH - TRIM_W)),
+        (TRIM_H, TRIM_W))
+    x = crop.astype(jnp.float32).reshape(-1) / 255.0
+    return apply_mlp(slash_params, x)[0]
+
+
+def _process_stripe(slash_params, sobel, base, stripe_sum, stripe_valid):
+    """find_character_groups_for_stripe (expiry_seg.cpp:386-704) for one
+    stripe. Returns per-group window candidates:
+    (win_valid (G, 12), win_score (G, 12) slash prob,
+     char_tops (G, 16), char_lefts (G, 16), win_first (12,))."""
+    base = jnp.clip(base, 1, CARD_HEIGHT - BAND_H)
+    band = lax.dynamic_slice(sobel, (base, 0), (BAND_H, CARD_WIDTH))
+    band = band.astype(jnp.int32)
+    col_sums = jnp.sum(band, axis=0)
+    csum = jnp.concatenate([jnp.zeros((1,), col_sums.dtype),
+                            jnp.cumsum(col_sums)])
+    rect_sums = (csum[SMALL_W:] - csum[:-SMALL_W]).astype(jnp.int32)  # (420,)
+
+    rect_avg = (stripe_sum.astype(jnp.int32) * SMALL_W) // CARD_WIDTH
+    dim_thr = (rect_avg // 5).astype(jnp.int32)
+    cand = rect_sums > dim_thr
+    n_cand = jnp.sum(cand.astype(jnp.int32))
+    mean = jnp.sum(jnp.where(cand, rect_sums, 0)).astype(jnp.float32) / \
+        jnp.maximum(n_cand, 1)
+    sum_thr = 0.8 * mean
+    cand = cand & (rect_sums.astype(jnp.float32) > sum_thr) & stripe_valid
+
+    accepted = _nonoverlap_select(rect_sums, cand)
+
+    # compact accepted lefts in ascending order (sentinel 9999)
+    lefts_all = jnp.where(accepted, jnp.arange(N_RECT_POS), 9999)
+    lefts_sorted = jnp.sort(lefts_all)[:MAX_CHARS * MAX_GROUPS]  # (64,)
+    present = lefts_sorted < 9999
+    prev = jnp.concatenate([lefts_sorted[:1], lefts_sorted[:-1]])
+    breaks = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        (lefts_sorted[1:] - prev[1:]) >= 2 * SMALL_W]) & present
+    gid = jnp.cumsum(breaks.astype(jnp.int32)) * present - (~present)  # -1 pad
+
+    # group sizes; groups ordered left-to-right by construction
+    sizes = jnp.zeros((MAX_GROUPS * MAX_CHARS,), jnp.int32).at[
+        jnp.clip(gid, 0, MAX_GROUPS * MAX_CHARS - 1)].add(
+        present.astype(jnp.int32), mode="drop")
+    # pick the first MAX_GROUPS group-ids with size >= 4
+    big = sizes >= 4
+    order_idx = jnp.where(big, jnp.arange(sizes.shape[0]), 9999)
+    chosen = jnp.sort(order_idx)[:MAX_GROUPS]            # (4,)
+    group_ok = chosen < 9999
+
+    def per_group(gsel, ok):
+        member = (gid == gsel) & present
+        n_m = jnp.sum(member.astype(jnp.int32))
+        # contiguous run: start index within lefts_sorted
+        start_i = jnp.argmax(member)
+        # raw char arrays (<= MAX_CHARS kept, left-to-right)
+        take = jnp.arange(MAX_CHARS) + start_i
+        take_ok = jnp.arange(MAX_CHARS) < jnp.minimum(n_m, MAX_CHARS)
+        raw_lefts = jnp.where(
+            take_ok, lefts_sorted[jnp.clip(take, 0, lefts_sorted.shape[0] - 1)], 0)
+        raw_sums = jnp.where(
+            take_ok,
+            rect_sums[jnp.clip(raw_lefts, 0, N_RECT_POS - 1)], 0).astype(jnp.int32)
+
+        # whitespace strip on the raw run
+        s0 = jnp.asarray(0, jnp.int32)
+        c0 = jnp.minimum(n_m, MAX_CHARS).astype(jnp.int32)
+        s1, c1 = _whitespace_strip(raw_sums, s0, c0)
+
+        first_left = raw_lefts[jnp.clip(s1, 0, MAX_CHARS - 1)]
+        last_left = raw_lefts[jnp.clip(s1 + c1 - 1, 0, MAX_CHARS - 1)]
+        width = last_left + SMALL_W - first_left
+
+        # regrid over the group's rows [base-1, base+16)
+        top = base - 1
+        rows = lax.dynamic_slice(sobel, (jnp.clip(top, 0, CARD_HEIGHT - BAND_H), 0),
+                                 (BAND_H, CARD_WIDTH)).astype(jnp.int32)
+        col_sums_grp = jnp.sum(rows, axis=0)
+        bounds_left = jnp.maximum(first_left - 2 * SMALL_W, 0)
+        bounds_right = jnp.minimum(first_left + width + 2 * SMALL_W, CARD_WIDTH)
+        bounds_width = bounds_right - bounds_left
+        r_lefts, r_sums, r_n, spacing = _regrid(col_sums_grp, bounds_left,
+                                                bounds_width)
+
+        # second whitespace strip on the regridded run
+        s2, c2 = _whitespace_strip(r_sums, jnp.asarray(0, jnp.int32),
+                                   jnp.minimum(r_n, MAX_CHARS))
+
+        # per-char trim (vmapped); char_width = spacing - 1
+        char_width = spacing - 1
+        tops, lefts2, char_valid = jax.vmap(
+            lambda cl: _trim_char(sobel, cl, top, char_width))(r_lefts)
+        in_run = (jnp.arange(MAX_CHARS) >= s2) & \
+            (jnp.arange(MAX_CHARS) < s2 + c2)
+        char_alive = in_run & char_valid & ok
+
+        # compact alive chars left-to-right
+        ord_key = jnp.where(char_alive, jnp.arange(MAX_CHARS), 9999)
+        ord_idx = jnp.argsort(ord_key)
+        tops_c = tops[ord_idx]
+        lefts_c = lefts2[ord_idx]
+        alive_c = char_alive[ord_idx]
+        n_alive = jnp.sum(char_alive.astype(jnp.int32))
+
+        # slash windows: first in [0, n_alive-5]; middle char = first+2
+        firsts = jnp.arange(MAX_CHARS - 4)
+        win_ok = (firsts + 4 < n_alive) & (n_alive >= 5) & ok
+        mid_tops = tops_c[jnp.clip(firsts + 2, 0, MAX_CHARS - 1)]
+        mid_lefts = lefts_c[jnp.clip(firsts + 2, 0, MAX_CHARS - 1)]
+        probs = jax.vmap(lambda t, l: _slash_prob(slash_params, sobel, t, l))(
+            mid_tops, mid_lefts)
+        win_ok = win_ok & (probs > 0.7)
+        return win_ok, tops_c, lefts_c, firsts
+
+    win_ok, tops_c, lefts_c, firsts = jax.vmap(per_group)(chosen, group_ok)
+    return win_ok, tops_c, lefts_c, firsts
+
+
+def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindows:
+    """best_expiry_seg (expiry_seg.cpp:706-902) as one jittable graph.
+
+    y_img: (270, 428) u8; vseg_y: traced scalar; enabled: bool scalar gate
+    (frame usable, number row leaves >= 2 char heights below).
+    Returns up to MAX_WINDOWS MM/YY window candidates.
+    """
+    y_start = jnp.clip(vseg_y + NUMBER_HEIGHT, 0, CARD_HEIGHT - 1)
+    sobel = scharr_dx_abs_below(y_img, y_start)
+    bases, sums, stripe_ok = select_stripes(sobel, y_start)
+    stripe_ok = stripe_ok & enabled
+
+    def one(base, ssum, ok):
+        return _process_stripe(slash_params, sobel, base, ssum, ok)
+
+    win_ok, tops_c, lefts_c, firsts = jax.vmap(one)(bases, sums, stripe_ok)
+    # shapes: (3, G, 12) win_ok; (3, G, 16) tops/lefts; (3?, ...) firsts (G,12)
+
+    # flatten candidates in (stripe, group, first) order and take the first
+    # MAX_WINDOWS valid ones — matching the reference's append order
+    S, G, F = win_ok.shape
+    flat_ok = win_ok.reshape(-1)
+    order = jnp.where(flat_ok, jnp.arange(S * G * F), 99999)
+    pick = jnp.sort(order)[:MAX_WINDOWS]
+    picked_ok = pick < 99999
+    pick = jnp.clip(pick, 0, S * G * F - 1)
+    si = pick // (G * F)
+    gi = (pick // F) % G
+    fi = pick % F
+
+    def gather_window(s, g, f, ok):
+        ct = lax.dynamic_slice(tops_c[s, g], (f,), (5,))
+        cl = lax.dynamic_slice(lefts_c[s, g], (f,), (5,))
+        top = jnp.min(ct)
+        left = cl[0]
+        return ok, top, left, ct, cl
+
+    valid, top, left, char_tops, char_lefts = jax.vmap(gather_window)(
+        si, gi, fi, picked_ok)
+    return ExpiryWindows(valid=valid, top=top, left=left,
+                         char_tops=char_tops, char_lefts=char_lefts)
+
+
+# ---------------------------------------------------------------------------
+# categorization + cross-frame aggregation (expiry_categorize.cpp)
+# ---------------------------------------------------------------------------
+
+def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
+    """Per window, classify chars 0,1,3,4 (expiry_categorize.cpp:149-252).
+    Returns (MAX_WINDOWS, 5, 10) scores (slash row zero)."""
+    def prep_char(top, left):
+        crop = lax.dynamic_slice(
+            y_img, (jnp.clip(top, 0, CARD_HEIGHT - TRIM_H),
+                    jnp.clip(left, 0, CARD_WIDTH - TRIM_W)),
+            (TRIM_H, TRIM_W))
+        grad = morph_grad3_2d_cross_u8(crop)
+        eq = equalize_hist(grad)
+        sm = bilateral3x3(eq)
+        return sm.astype(jnp.float32) / 255.0
+
+    digit_idx = jnp.asarray([0, 1, 3, 4])
+    tops = windows.char_tops[:, digit_idx].reshape(-1)      # (W*4,)
+    lefts = windows.char_lefts[:, digit_idx].reshape(-1)
+    cells = jax.vmap(prep_char)(tops, lefts)                # (W*4, 16, 11)
+    probs = apply_expiry_conv(expiry_params, cells)         # (W*4, 10)
+    probs = probs.reshape(MAX_WINDOWS, 4, 10)
+    scores = jnp.zeros((MAX_WINDOWS, 5, 10), jnp.float32)
+    scores = scores.at[:, digit_idx, :].set(probs)
+    return jnp.where(windows.valid[:, None, None], scores, 0.0)
+
+
+def aggregate_windows(state: ExpiryState, windows: ExpiryWindows,
+                      scores) -> ExpiryState:
+    """expiry_aggregate_grouped_rects (expiry_categorize.cpp:256-331) over
+    the fixed slot table: EWMA-merge matches, decay, insert fresh."""
+    new_valid = windows.valid
+    new_top = windows.top
+    new_left = windows.left
+    new_scores = scores
+
+    # coalesce within new (static W^2 loop; W == 4)
+    for i in range(MAX_WINDOWS):
+        coalesced = jnp.asarray(1.0)
+        for j in range(MAX_WINDOWS - 1, i, -1):
+            match = (new_valid[i] & new_valid[j] &
+                     (jnp.abs(new_top[j] - new_top[i]) <= V_ALLOW) &
+                     (jnp.abs(new_left[j] - new_left[i]) <= H_ALLOW))
+            merged = (new_scores[i] * coalesced + new_scores[j]) / (coalesced + 1.0)
+            new_scores = new_scores.at[i].set(
+                jnp.where(match, merged, new_scores[i]))
+            coalesced = jnp.where(match, coalesced + 1.0, coalesced)
+            new_valid = new_valid.at[j].set(new_valid[j] & ~match)
+
+    active = state.active
+    top = state.top
+    left = state.left
+    sc = state.scores
+    recently = state.recently_seen
+    total = state.total_seen
+
+    # merge new windows into matching slots
+    for s in range(MAX_SLOTS):
+        for j in range(MAX_WINDOWS - 1, -1, -1):
+            match = (active[s] & new_valid[j] &
+                     (jnp.abs(new_top[j] - top[s]) <= V_ALLOW) &
+                     (jnp.abs(new_left[j] - left[s]) <= H_ALLOW))
+            sc = sc.at[s].set(jnp.where(
+                match,
+                sc[s] * EXPIRY_DECAY_FACTOR +
+                new_scores[j] * (1 - EXPIRY_DECAY_FACTOR),
+                sc[s]))
+            top = top.at[s].set(jnp.where(match, new_top[j], top[s]))
+            left = left.at[s].set(jnp.where(match, new_left[j], left[s]))
+            recently = recently.at[s].add(match.astype(jnp.int32))
+            total = total.at[s].add(match.astype(jnp.int32))
+            new_valid = new_valid.at[j].set(new_valid[j] & ~match)
+
+    # decay + forget
+    recently = jnp.where(active, recently - 1, recently)
+    active = active & (recently > 0)
+
+    # insert remaining new windows into free slots
+    for j in range(MAX_WINDOWS):
+        free_slot = jnp.argmin(active.astype(jnp.int32))  # first inactive
+        can = new_valid[j] & ~active[free_slot]
+        active = active.at[free_slot].set(active[free_slot] | can)
+        top = top.at[free_slot].set(jnp.where(can, new_top[j], top[free_slot]))
+        left = left.at[free_slot].set(
+            jnp.where(can, new_left[j], left[free_slot]))
+        sc = sc.at[free_slot].set(
+            jnp.where(can, new_scores[j], sc[free_slot]))
+        recently = recently.at[free_slot].set(
+            jnp.where(can, 3, recently[free_slot]))
+        total = total.at[free_slot].set(
+            jnp.where(can, 1, total[free_slot]))
+
+    return ExpiryState(active=active, top=top, left=left, scores=sc,
+                       recently_seen=recently, total_seen=total)
+
+
+def extract_expiry(state: ExpiryState, best_month, best_year,
+                   now_year, now_month):
+    """Stable digits + date sanity over all trusted slots
+    (expiry_categorize.cpp:334-501). Returns (month, full_year)."""
+    row_sum = jnp.sum(state.scores, axis=-1)                 # (S, 5)
+    row_max = jnp.max(state.scores, axis=-1)
+    stability = row_max / jnp.where(row_sum > 0, row_sum, 1.0)
+    digits = jnp.argmax(state.scores, axis=-1)               # (S, 5)
+    stable = (stability >= EXPIRY_MIN_STABILITY) & (row_sum > 0)
+
+    trusted = state.active & (state.total_seen >= MIN_SEEN)
+    all_stable = stable[:, 0] & stable[:, 1] & stable[:, 3] & stable[:, 4]
+
+    month = digits[:, 0] * 10 + digits[:, 1]
+    year = digits[:, 3] * 10 + digits[:, 4]
+    swap = (month > 12) & (year > 0) & (year <= 12)
+    month, year = (jnp.where(swap, year, month), jnp.where(swap, month, year))
+    full_year = year + 2000
+
+    for s in range(MAX_SLOTS):
+        cand_ok = (trusted[s] & all_stable[s] &
+                   (month[s] > 0) & (month[s] <= 12))
+        later = (full_year[s] > best_year) | \
+            ((full_year[s] == best_year) & (month[s] > best_month))
+        window_ok = (full_year[s] < now_year + 5) & \
+            ((full_year[s] > now_year) |
+             ((full_year[s] == now_year) & (month[s] >= now_month)))
+        take = cand_ok & later & window_ok
+        best_month = jnp.where(take, month[s], best_month)
+        best_year = jnp.where(take, full_year[s], best_year)
+    return best_month, best_year

@@ -23,6 +23,7 @@ Semantics mirrored from the C++:
 
 import typing
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -31,8 +32,17 @@ from ..constants import (
     PAN_DECAY_FACTOR,
     PAN_MIN_STABILITY,
 )
+from ..constants import CARD_HEIGHT, SMALL_CHARACTER_HEIGHT
 from ..utils.olm import card_type_valid_jax, luhn_checksum_jax
 from ..scan.frame import FrameResult, scan_card_image
+from ..scan.expiry_device import (
+    ExpiryState,
+    aggregate_windows,
+    best_expiry_seg_device,
+    categorize_windows,
+    expiry_state_init,
+    extract_expiry,
+)
 from .analytics import ScanAnalytics, analytics_init, analytics_record_frame
 
 EXPIRY_GRACE_FRAMES = 30  # ~1 s at 30 fps (scan.cpp:14,175 quirk)
@@ -55,10 +65,13 @@ class ScannerState(typing.NamedTuple):
     completed_digits: jnp.ndarray  # (16,) int32
     completed_n: jnp.ndarray       # int32
     frames_since_complete: jnp.ndarray  # int32
-    # expiry (filled by the expiry subsystem)
+    # expiry (device expiry subsystem, scan/expiry_device.py)
     scan_expiry: jnp.ndarray       # bool
     expiry_month: jnp.ndarray      # int32
     expiry_year: jnp.ndarray       # int32
+    expiry: ExpiryState
+    now_year: jnp.ndarray          # int32 (current date for expiry sanity)
+    now_month: jnp.ndarray         # int32
     analytics: ScanAnalytics
 
 
@@ -71,8 +84,13 @@ class ScannerResult(typing.NamedTuple):
     expiry_year: jnp.ndarray  # int32
 
 
-def scanner_reset() -> ScannerState:
-    """scanner_reset (scan.cpp:23-35)."""
+def scanner_reset(now=None) -> ScannerState:
+    """scanner_reset (scan.cpp:23-35). `now` = (year, month) for the expiry
+    date-sanity window (the reference reads the wall clock,
+    expiry_categorize.cpp:352-354; a pure graph takes it as state)."""
+    if now is None:
+        import time as _time
+        now = _time.localtime()[:2]
     z32 = jnp.zeros((), jnp.int32)
     return ScannerState(
         count15=z32, count16=z32,
@@ -91,6 +109,9 @@ def scanner_reset() -> ScannerState:
         scan_expiry=jnp.zeros((), bool),
         expiry_month=z32,
         expiry_year=z32,
+        expiry=expiry_state_init(),
+        now_year=jnp.asarray(int(now[0]), jnp.int32),
+        now_month=jnp.asarray(int(now[1]), jnp.int32),
         analytics=analytics_init(),
     )
 
@@ -138,6 +159,31 @@ def scanner_add_frame(params, state: ScannerState, y,
     fold = frame.usable & ~frame.upside_down & still_need_number
     folded = _accumulate(state, frame)
     state = lax.cond(fold, lambda: folded, lambda: state)
+
+    if scan_expiry:
+        # scan.cpp:44,62-66 + frame.cpp:72: expiry path runs for usable,
+        # right-side-up frames whose PAN row leaves >= 2 char heights below
+        still_need_expiry = (state.expiry_month == 0) | (state.expiry_year == 0)
+        room = frame.vseg.y_offset < CARD_HEIGHT - 2 * SMALL_CHARACTER_HEIGHT
+        enabled = (frame.usable & ~frame.upside_down & still_need_expiry &
+                   room)
+        windows = best_expiry_seg_device(
+            params["slash_mlp"], y, frame.vseg.y_offset, enabled)
+        scores = categorize_windows(params["expiry_conv"], y, windows)
+        # the reference's expiry_extract is a no-op when segmentation found
+        # nothing (expiry_categorize.cpp:454-456): gate the aggregation
+        any_new = jnp.any(windows.valid) & enabled
+        merged = aggregate_windows(state.expiry, windows, scores)
+        expiry_state = jax.tree.map(
+            lambda a, b: jnp.where(any_new, a, b), merged, state.expiry)
+        month, year = extract_expiry(
+            expiry_state, state.expiry_month, state.expiry_year,
+            state.now_year, state.now_month)
+        month = jnp.where(any_new, month, state.expiry_month)
+        year = jnp.where(any_new, year, state.expiry_year)
+        state = state._replace(expiry=expiry_state,
+                               expiry_month=month.astype(jnp.int32),
+                               expiry_year=year.astype(jnp.int32))
 
     state = state._replace(
         scan_expiry=state.scan_expiry | jnp.asarray(scan_expiry),

@@ -1,0 +1,124 @@
+"""Device (jittable) expiry path tests: parity vs the host oracle +
+full in-graph session with expiry."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+import synthetic
+from cardio_dmz_tpu.models.weights import load_all_params
+from cardio_dmz_tpu.scan import expiry_seg_host as host_seg
+from cardio_dmz_tpu.scan.expiry_device import (
+    aggregate_windows,
+    best_expiry_seg_device,
+    categorize_windows,
+    expiry_state_init,
+    extract_expiry,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _params():
+    return load_all_params()
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_fn():
+    params = _params()
+    return jax.jit(lambda img, yv: best_expiry_seg_device(
+        params["slash_mlp"], img, yv, jnp.asarray(True)))
+
+
+def _frame(seed=0, expiry="08/27"):
+    return synthetic.render_frame_with_expiry(
+        "4111111111111111", expiry, y0=150, offset=35, expiry_y=210,
+        expiry_x=120, noise=1, seed=seed, expiry_size=20, expiry_spacing=12)
+
+
+def test_device_seg_matches_host():
+    for seed in range(3):
+        y = _frame(seed=seed)
+        hg, _ = host_seg.best_expiry_seg(y, 150, _params()["slash_mlp"])
+        w = _seg_fn()(y, jnp.asarray(150))
+        n_dev = int(np.asarray(w.valid).sum())
+        assert n_dev == len(hg), (seed, n_dev, len(hg))
+        if hg:
+            assert int(np.asarray(w.top)[0]) == hg[0].top
+            assert int(np.asarray(w.left)[0]) == hg[0].left
+            np.testing.assert_array_equal(
+                np.asarray(w.char_lefts)[0],
+                [r.left for r in hg[0].character_rects])
+            np.testing.assert_array_equal(
+                np.asarray(w.char_tops)[0],
+                [r.top for r in hg[0].character_rects])
+
+
+def test_device_seg_disabled_gate():
+    y = _frame()
+    params = _params()
+    w = jax.jit(lambda img: best_expiry_seg_device(
+        params["slash_mlp"], img, jnp.asarray(150), jnp.asarray(False)))(y)
+    assert not np.asarray(w.valid).any()
+
+
+def test_device_categorize_matches_host():
+    y = _frame()
+    params = _params()
+    hg, _ = host_seg.best_expiry_seg(y, 150, params["slash_mlp"])
+    from cardio_dmz_tpu.scan.expiry_categorize_host import (
+        categorize_expiry_digits)
+    h_scores = categorize_expiry_digits(y, hg[0], params["expiry_conv"])
+
+    w = _seg_fn()(y, jnp.asarray(150))
+    d_scores = np.asarray(jax.jit(
+        lambda img, win: categorize_windows(params["expiry_conv"], img, win)
+    )(y, w))
+    np.testing.assert_allclose(d_scores[0], h_scores[:5], atol=1e-5)
+
+
+def test_device_aggregation_and_extract():
+    params = _params()
+    seg = _seg_fn()
+    cat = jax.jit(lambda img, w: categorize_windows(
+        params["expiry_conv"], img, w))
+    agg = jax.jit(aggregate_windows)
+    ext = jax.jit(lambda st, m, yy: extract_expiry(st, m, yy, 2026, 8))
+
+    st = expiry_state_init()
+    month = jnp.asarray(0)
+    year = jnp.asarray(0)
+    history = []
+    for s in range(4):
+        y = _frame(seed=s)
+        w = seg(y, jnp.asarray(150))
+        st = agg(st, w, cat(y, w))
+        month, year = ext(st, month, year)
+        history.append((int(month), int(year)))
+    assert history[0] == (0, 0)      # needs >= 3 sightings
+    assert history[-1] == (8, 2027)
+
+
+def test_full_session_in_graph_with_expiry():
+    """The north-star shape: PAN + expiry in ONE jitted lax.scan graph."""
+    params = _params()
+    frames = np.stack([_frame(seed=s) for s in range(6)])
+
+    from cardio_dmz_tpu.session import scanner_reset, scanner_step
+
+    @jax.jit
+    def run(fr):
+        def step(state, y):
+            return scanner_step(params, state, y, scan_expiry=True)
+        return lax.scan(step, scanner_reset(now=(2026, 8)), fr)
+
+    state, (f, res) = run(frames)
+    assert bool(state.number_complete)
+    assert "".join(map(str, np.asarray(state.completed_digits)[:16])) == \
+        "4111111111111111"
+    assert int(state.expiry_month) == 8
+    assert int(state.expiry_year) == 2027
+    assert bool(np.asarray(res.complete)[-1])
+    assert int(np.asarray(res.expiry_month)[-1]) == 8
