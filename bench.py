@@ -25,8 +25,10 @@ def main():
     ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--expiry", action="store_true",
-                    help="include the in-graph expiry path")
+    ap.add_argument("--expiry", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="include the in-graph expiry path (default on; "
+                         "--no-expiry for the PAN-only pipeline)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny sizes for CI smoke")
     args = ap.parse_args()

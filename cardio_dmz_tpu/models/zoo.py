@@ -14,10 +14,10 @@ that vmap/jit map them onto the MXU:
                       -> 120 -> 176 relu -> 10 softmax
                                                       (modelc_bf4dd6c8.cpp:12495-13505)
 
-All functions accept a leading batch of arbitrary rank; matmuls run in
-float32 on the MXU (these models are tiny: accuracy parity with the C++
-reference at 1e-5 matters more than bf16 speed here — the batched matmuls
-are small enough to be bandwidth-bound either way).
+All functions accept a leading batch of arbitrary rank. Matmul/conv
+precision is switchable (see set_precision): full-fp32 for golden parity
+tests, native bf16-mult/fp32-acc for serving (verified behaviorally
+identical on the pipeline).
 """
 
 import jax
@@ -25,14 +25,27 @@ import jax.numpy as jnp
 from jax import lax
 
 
-# These models are parity-anchored to the C++ reference at 1e-5 abs
-# (pass*() self-checks). Default XLA conv/dot precision truncates operands;
-# force full fp32 — the ops are tiny, so this costs nothing.
-_PRECISION = lax.Precision.HIGHEST
+# Precision policy. The golden parity tests (1e-5 abs vs the C++
+# reference's baked outputs) need full fp32 matmuls, which on TPU lower to
+# a multi-pass bf16 emulation ~6x slower than native bf16-mult/fp32-acc.
+# The serving pipeline only needs stable argmaxes (the models saturate
+# through tanh and ensemble voting), so it uses the fast default. Tests
+# flip this to HIGHEST via set_precision().
+_PRECISION = [lax.Precision.DEFAULT]
+
+
+def set_precision(p):
+    """p: lax.Precision or "highest"/"default". Returns previous value."""
+    prev = _PRECISION[0]
+    if isinstance(p, str):
+        p = {"highest": lax.Precision.HIGHEST,
+             "default": lax.Precision.DEFAULT}[p.lower()]
+    _PRECISION[0] = p
+    return prev
 
 
 def _dot(x, w):
-    return jnp.matmul(x, w, precision=_PRECISION)
+    return jnp.matmul(x, w, precision=_PRECISION[0])
 
 
 def _tanh(x):
@@ -78,7 +91,7 @@ def apply_pan_conv(params, img):
     conv = lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=_PRECISION,
+        precision=_PRECISION[0],
     )  # (N, 8, 25, 17)
     conv = conv[:, :, :24, :15]
     n = conv.shape[0]
@@ -123,7 +136,7 @@ def apply_expiry_conv(params, img, return_intermediates=False):
     c1 = lax.conv_general_dilated(
         x, w1, window_strides=(1, 1), padding=((4, 4), (4, 3)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=_PRECISION,
+        precision=_PRECISION[0],
     )  # (N, 50, 20, 14)
     n = c1.shape[0]
     p1 = c1.reshape(n, 50, 10, 2, 7, 2).max(axis=(3, 5))  # (N, 50, 10, 7)
@@ -133,7 +146,7 @@ def apply_expiry_conv(params, img, return_intermediates=False):
     c2 = lax.conv_general_dilated(
         a1, w2, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=_PRECISION,
+        precision=_PRECISION[0],
     )  # (N, 40, 6, 3)
     p2 = c2.reshape(n, 40, 3, 2, 1, 3).max(axis=(3, 5))  # (N, 40, 3, 1)
     a2 = jnp.maximum(p2.reshape(n, 40, 3) + params["conv2_b"][None, :, None], 0.0)

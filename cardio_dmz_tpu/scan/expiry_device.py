@@ -169,68 +169,66 @@ def _nonoverlap_select(rect_sums, cand):
     key = rect_sums.astype(jnp.int32) * 1024 + (1023 - jnp.arange(N_RECT_POS))
     neg = jnp.int32(-1)
 
-    def window_max(k):
-        # max over positions within +-8 (overlapping rects)
-        pad = jnp.full((SMALL_W - 1,), neg, jnp.int32)
-        kp = jnp.concatenate([pad, k, pad])
-        m = k
-        for o in range(1, SMALL_W):
-            m = jnp.maximum(m, kp[SMALL_W - 1 - o:SMALL_W - 1 - o + N_RECT_POS])
-            m = jnp.maximum(m, kp[SMALL_W - 1 + o:SMALL_W - 1 + o + N_RECT_POS])
-        return m
+    win = 2 * SMALL_W - 1  # rects within +-8 positions overlap
 
-    def body(state):
-        accepted, alive, _ = state
+    def window_max(k):
+        # single fused sliding-max over the overlap window
+        return lax.reduce_window(
+            k, neg, lax.max, window_dimensions=(win,), window_strides=(1,),
+            padding=((SMALL_W - 1, SMALL_W - 1),))
+
+    def body(_, state):
+        accepted, alive = state
         k = jnp.where(alive, key, neg)
         is_max = alive & (k == window_max(k)) & (k > neg)
         accepted = accepted | is_max
-        # kill everything overlapping a newly accepted rect
-        killed = jnp.zeros((N_RECT_POS,), bool)
-        padm = jnp.concatenate([jnp.zeros((SMALL_W - 1,), bool), is_max,
-                                jnp.zeros((SMALL_W - 1,), bool)])
-        for o in range(-(SMALL_W - 1), SMALL_W):
-            killed = killed | padm[SMALL_W - 1 + o:SMALL_W - 1 + o + N_RECT_POS]
+        # kill everything overlapping a newly accepted rect (sliding any)
+        killed = lax.reduce_window(
+            is_max.astype(jnp.int32), 0, lax.max, window_dimensions=(win,),
+            window_strides=(1,),
+            padding=((SMALL_W - 1, SMALL_W - 1),)) > 0
         alive = alive & ~killed
-        return accepted, alive, jnp.any(is_max)
+        return accepted, alive
 
-    def cond(state):
-        _, alive, progressed = state
-        return jnp.any(alive) & progressed
-
+    # Fixed round count instead of run-to-convergence: each round accepts
+    # every current local maximum, so R rounds cover greedy chains of
+    # depth R. Card text produces chains of depth 2-4; 16 rounds only
+    # truncates pathological noise (conservatively: fewer candidate rects),
+    # and a fixed bound keeps the vmapped program free of global
+    # convergence sync.
     accepted0 = jnp.zeros((N_RECT_POS,), bool)
-    accepted, _, _ = lax.while_loop(
-        cond, body, (accepted0, cand, jnp.asarray(True)))
+    accepted, _ = lax.fori_loop(0, 16, body, (accepted0, cand))
     return accepted
 
 
 def _whitespace_strip(sums, start, count):
     """strip_group_white_space (expiry_seg.cpp:107-133) on a contiguous
-    (start, count) run within fixed `sums`. Returns (start, count)."""
+    (start, count) run within fixed `sums`. Returns (start, count).
+
+    Fixed-bound loop (at most n-5 removals) with one-hot reads: indexing
+    sums[traced_scalar] would lower to a per-lane gather per iteration
+    under the stripe/group vmaps."""
     n = sums.shape[0]
+    iota = jnp.arange(n)
 
-    def cond(sc):
+    def at(i):
+        return jnp.sum(jnp.where(iota == i, sums, 0))
+
+    def body(_, sc):
         s, c = sc
         idx = s + (c - 4) // 2
-        mid = (sums[idx] + sums[jnp.clip(idx + 1, 0, n - 1)] +
-               sums[jnp.clip(idx + 2, 0, n - 1)] +
-               sums[jnp.clip(idx + 3, 0, n - 1)]) // 4
+        mid = (at(idx) + at(jnp.clip(idx + 1, 0, n - 1)) +
+               at(jnp.clip(idx + 2, 0, n - 1)) +
+               at(jnp.clip(idx + 3, 0, n - 1))) // 4
         thr = (mid.astype(jnp.float32) * 0.8).astype(jnp.int32)
-        first_dim = sums[s] < thr
-        last_dim = sums[jnp.clip(s + c - 1, 0, n - 1)] < thr
-        return (c > 5) & (first_dim | last_dim)
+        first_dim = at(s) < thr
+        last_dim = at(jnp.clip(s + c - 1, 0, n - 1)) < thr
+        go = (c > 5) & (first_dim | last_dim)
+        s2 = jnp.where(go & first_dim, s + 1, s)
+        c2 = jnp.where(go, c - 1, c)
+        return s2, c2
 
-    def body(sc):
-        s, c = sc
-        idx = s + (c - 4) // 2
-        mid = (sums[idx] + sums[jnp.clip(idx + 1, 0, n - 1)] +
-               sums[jnp.clip(idx + 2, 0, n - 1)] +
-               sums[jnp.clip(idx + 3, 0, n - 1)]) // 4
-        thr = (mid.astype(jnp.float32) * 0.8).astype(jnp.int32)
-        first_dim = sums[s] < thr
-        s2 = jnp.where(first_dim, s + 1, s)
-        return s2, c - 1
-
-    return lax.while_loop(cond, body, (start, count))
+    return lax.fori_loop(0, n - 5, body, (start, count), unroll=True)
 
 
 def _regrid(col_sums_full, bounds_left, bounds_width, n_min=11, n_max=15):
@@ -241,10 +239,11 @@ def _regrid(col_sums_full, bounds_left, bounds_width, n_min=11, n_max=15):
     """
     max_k = CARD_WIDTH // n_min + 1  # 39 gridlines max
 
-    # col_sums relative to bounds_left, invalid -> 0
+    # col_sums relative to bounds_left, invalid -> 0 (dynamic roll lowers
+    # to two slices + concat — far cheaper than a 428-wide batched gather)
     rel = jnp.arange(CARD_WIDTH)
-    abs_idx = jnp.clip(bounds_left + rel, 0, CARD_WIDTH - 1)
-    cs = jnp.where(rel < bounds_width, col_sums_full[abs_idx], 0)
+    cs = jnp.where(rel < bounds_width,
+                   jnp.roll(col_sums_full, -bounds_left), 0)
     group_sum = jnp.sum(cs).astype(jnp.float32)
     csum = jnp.concatenate([jnp.zeros((1,), cs.dtype), jnp.cumsum(cs)])
     min_lines = bounds_width // n_min
@@ -281,9 +280,13 @@ def _regrid(col_sums_full, bounds_left, bounds_width, n_min=11, n_max=15):
         n_chars, spacing
 
 
-def _trim_char(sobel, char_left, group_top, char_width):
+def _trim_char(band21, char_left, group_top, char_width):
     """optimize_character_rects inner loop for one char
-    (expiry_seg.cpp:255-331). Returns (top, left, valid)."""
+    (expiry_seg.cpp:255-331). Returns (top, left, valid).
+
+    band21: (21, 428) rows [group_top-2, group_top+19) of the sobel image,
+    extracted once per stripe (all chars share the rows), so the per-char
+    crop is a columns-only slice."""
     cw = char_width + 4          # dynamic, <= 18
     ch = EXPANDED_H              # height always 17 + 4
     left0 = char_left - 2
@@ -292,8 +295,7 @@ def _trim_char(sobel, char_left, group_top, char_width):
         (top0 + ch <= CARD_HEIGHT) & (top0 >= 0)
 
     crop = lax.dynamic_slice(
-        sobel, (jnp.clip(top0, 0, CARD_HEIGHT - EXPANDED_H),
-                jnp.clip(left0, 0, CARD_WIDTH - EXPANDED_W)),
+        band21, (0, jnp.clip(left0, 0, CARD_WIDTH - EXPANDED_W)),
         (EXPANDED_H, EXPANDED_W)).astype(jnp.float32)
     col_in = jnp.arange(EXPANDED_W) < cw
     crop = jnp.where(col_in[None, :], crop, 0.0)
@@ -303,6 +305,16 @@ def _trim_char(sobel, char_left, group_top, char_width):
                      crop)
     crop = jnp.where(crop > 100, crop, 0.0)
 
+    # Edge-shave loops. Indexing sums[i] with a traced scalar lowers to a
+    # per-lane gather under the (streams x stripes x groups x chars) vmap —
+    # dominant cost of the whole seg graph. One-hot reductions keep every
+    # access a fused elementwise+reduce instead.
+    cols_iota = jnp.arange(EXPANDED_W)
+    rows_iota = jnp.arange(EXPANDED_H)
+
+    def at(sums, iota, i):
+        return jnp.sum(jnp.where(iota == i, sums, 0.0))
+
     col_sums = jnp.sum(crop, axis=0)
     lc0 = jnp.asarray(0, jnp.int32)
     rc0 = (cw - 1).astype(jnp.int32)
@@ -310,15 +322,15 @@ def _trim_char(sobel, char_left, group_top, char_width):
     def col_body(i, lr):
         lc, rc = lr
         need = (rc - lc + 1) > TRIM_W
-        shift_left = col_sums[lc] <= col_sums[rc]
+        shift_left = at(col_sums, cols_iota, lc) <= at(col_sums, cols_iota, rc)
         lc2 = jnp.where(need & shift_left, lc + 1, lc)
         rc2 = jnp.where(need & ~shift_left, rc - 1, rc)
         return lc2, rc2
 
-    lc, rc = lax.fori_loop(0, EXPANDED_W - TRIM_W, col_body, (lc0, rc0))
+    lc, rc = lax.fori_loop(0, EXPANDED_W - TRIM_W, col_body, (lc0, rc0),
+                           unroll=True)
 
-    cols = jnp.arange(EXPANDED_W)
-    row_mask = (cols >= lc) & (cols <= rc)
+    row_mask = (cols_iota >= lc) & (cols_iota <= rc)
     row_sums = jnp.sum(jnp.where(row_mask[None, :], crop, 0.0), axis=1)
     tr0 = jnp.asarray(0, jnp.int32)
     br0 = jnp.asarray(EXPANDED_H - 1, jnp.int32)
@@ -326,30 +338,30 @@ def _trim_char(sobel, char_left, group_top, char_width):
     def row_body(i, tb):
         tr, br = tb
         need = (br - tr + 1) > TRIM_H
-        shift_top = row_sums[tr] <= row_sums[br]
+        shift_top = at(row_sums, rows_iota, tr) <= at(row_sums, rows_iota, br)
         tr2 = jnp.where(need & shift_top, tr + 1, tr)
         br2 = jnp.where(need & ~shift_top, br - 1, br)
         return tr2, br2
 
-    tr, br = lax.fori_loop(0, EXPANDED_H - TRIM_H, row_body, (tr0, br0))
+    tr, br = lax.fori_loop(0, EXPANDED_H - TRIM_H, row_body, (tr0, br0),
+                           unroll=True)
     return (top0 + tr).astype(jnp.int32), (left0 + lc).astype(jnp.int32), valid
 
 
-def _slash_prob(slash_params, sobel, top, left):
+def _slash_crop(sobel, top, left):
     """is_slash input prep (expiry_seg.cpp:29-54): 11x16 sobel crop / 255."""
     crop = lax.dynamic_slice(
         sobel, (jnp.clip(top, 0, CARD_HEIGHT - TRIM_H),
                 jnp.clip(left, 0, CARD_WIDTH - TRIM_W)),
         (TRIM_H, TRIM_W))
-    x = crop.astype(jnp.float32).reshape(-1) / 255.0
-    return apply_mlp(slash_params, x)[0]
+    return crop.astype(jnp.float32).reshape(-1) / 255.0
 
 
-def _process_stripe(slash_params, sobel, base, stripe_sum, stripe_valid):
+def _process_stripe(sobel, base, stripe_sum, stripe_valid):
     """find_character_groups_for_stripe (expiry_seg.cpp:386-704) for one
-    stripe. Returns per-group window candidates:
-    (win_valid (G, 12), win_score (G, 12) slash prob,
-     char_tops (G, 16), char_lefts (G, 16), win_first (12,))."""
+    stripe. Returns per-group regridded char geometry:
+    (char_lefts (G, 16), group_top (G,), char_width (G,), alive (G, 16));
+    trimming + slash anchoring happen at the top level in flat batches."""
     base = jnp.clip(base, 1, CARD_HEIGHT - BAND_H)
     band = lax.dynamic_slice(sobel, (base, 0), (BAND_H, CARD_WIDTH))
     band = band.astype(jnp.int32)
@@ -368,6 +380,12 @@ def _process_stripe(slash_params, sobel, base, stripe_sum, stripe_valid):
     cand = cand & (rect_sums.astype(jnp.float32) > sum_thr) & stripe_valid
 
     accepted = _nonoverlap_select(rect_sums, cand)
+
+    # shared by every group of this stripe: regrid rows [base-1, base+16)
+    rows_regrid = lax.dynamic_slice(
+        sobel, (jnp.clip(base - 1, 0, CARD_HEIGHT - BAND_H), 0),
+        (BAND_H, CARD_WIDTH)).astype(jnp.int32)
+    col_sums_grp = jnp.sum(rows_regrid, axis=0)
 
     # compact accepted lefts in ascending order (sentinel 9999)
     lefts_all = jnp.where(accepted, jnp.arange(N_RECT_POS), 9999)
@@ -412,11 +430,9 @@ def _process_stripe(slash_params, sobel, base, stripe_sum, stripe_valid):
         last_left = raw_lefts[jnp.clip(s1 + c1 - 1, 0, MAX_CHARS - 1)]
         width = last_left + SMALL_W - first_left
 
-        # regrid over the group's rows [base-1, base+16)
+        # regrid over the group's rows [base-1, base+16) — column sums
+        # computed once per stripe and shared by all groups
         top = base - 1
-        rows = lax.dynamic_slice(sobel, (jnp.clip(top, 0, CARD_HEIGHT - BAND_H), 0),
-                                 (BAND_H, CARD_WIDTH)).astype(jnp.int32)
-        col_sums_grp = jnp.sum(rows, axis=0)
         bounds_left = jnp.maximum(first_left - 2 * SMALL_W, 0)
         bounds_right = jnp.minimum(first_left + width + 2 * SMALL_W, CARD_WIDTH)
         bounds_width = bounds_right - bounds_left
@@ -426,35 +442,15 @@ def _process_stripe(slash_params, sobel, base, stripe_sum, stripe_valid):
         # second whitespace strip on the regridded run
         s2, c2 = _whitespace_strip(r_sums, jnp.asarray(0, jnp.int32),
                                    jnp.minimum(r_n, MAX_CHARS))
-
-        # per-char trim (vmapped); char_width = spacing - 1
-        char_width = spacing - 1
-        tops, lefts2, char_valid = jax.vmap(
-            lambda cl: _trim_char(sobel, cl, top, char_width))(r_lefts)
         in_run = (jnp.arange(MAX_CHARS) >= s2) & \
             (jnp.arange(MAX_CHARS) < s2 + c2)
-        char_alive = in_run & char_valid & ok
+        # per-char trimming and slash anchoring run at the top level over
+        # ONE flat batch (nesting them here serializes into per-lane slice
+        # loops) — return the regridded char geometry instead.
+        char_width = spacing - 1
+        return r_lefts, top, char_width, in_run & ok
 
-        # compact alive chars left-to-right
-        ord_key = jnp.where(char_alive, jnp.arange(MAX_CHARS), 9999)
-        ord_idx = jnp.argsort(ord_key)
-        tops_c = tops[ord_idx]
-        lefts_c = lefts2[ord_idx]
-        alive_c = char_alive[ord_idx]
-        n_alive = jnp.sum(char_alive.astype(jnp.int32))
-
-        # slash windows: first in [0, n_alive-5]; middle char = first+2
-        firsts = jnp.arange(MAX_CHARS - 4)
-        win_ok = (firsts + 4 < n_alive) & (n_alive >= 5) & ok
-        mid_tops = tops_c[jnp.clip(firsts + 2, 0, MAX_CHARS - 1)]
-        mid_lefts = lefts_c[jnp.clip(firsts + 2, 0, MAX_CHARS - 1)]
-        probs = jax.vmap(lambda t, l: _slash_prob(slash_params, sobel, t, l))(
-            mid_tops, mid_lefts)
-        win_ok = win_ok & (probs > 0.7)
-        return win_ok, tops_c, lefts_c, firsts
-
-    win_ok, tops_c, lefts_c, firsts = jax.vmap(per_group)(chosen, group_ok)
-    return win_ok, tops_c, lefts_c, firsts
+    return jax.vmap(per_group)(chosen, group_ok)
 
 
 def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindows:
@@ -470,10 +466,52 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
     stripe_ok = stripe_ok & enabled
 
     def one(base, ssum, ok):
-        return _process_stripe(slash_params, sobel, base, ssum, ok)
+        return _process_stripe(sobel, base, ssum, ok)
 
-    win_ok, tops_c, lefts_c, firsts = jax.vmap(one)(bases, sums, stripe_ok)
-    # shapes: (3, G, 12) win_ok; (3, G, 16) tops/lefts; (3?, ...) firsts (G,12)
+    r_lefts, g_top, g_cw, alive0 = jax.vmap(one)(bases, sums, stripe_ok)
+    # shapes: (3, G, 16) r_lefts/alive0; (3, G) g_top/g_cw
+
+    # per-char trimming as ONE flat (3*G*16,) batch; each stripe's chars
+    # share a 21-row band, extracted once per stripe
+    S_, G_ = r_lefts.shape[0], r_lefts.shape[1]
+    band_top = jnp.clip(g_top[:, 0] - 2, 0, CARD_HEIGHT - EXPANDED_H)  # (3,)
+    bands = jax.vmap(lambda t: lax.dynamic_slice(
+        sobel, (t, 0), (EXPANDED_H, CARD_WIDTH)))(band_top)  # (3, 21, 428)
+    flat_lefts = r_lefts.reshape(-1)
+    flat_tops = jnp.broadcast_to(g_top[:, :, None],
+                                 (S_, G_, MAX_CHARS)).reshape(-1)
+    flat_cw = jnp.broadcast_to(g_cw[:, :, None],
+                               (S_, G_, MAX_CHARS)).reshape(-1)
+    flat_band = jnp.broadcast_to(
+        jnp.arange(S_)[:, None, None], (S_, G_, MAX_CHARS)).reshape(-1)
+    tops_f, lefts_f, valid_f = jax.vmap(
+        lambda bi, cl, tp, cw: _trim_char(bands[bi], cl, tp, cw))(
+        flat_band, flat_lefts, flat_tops, flat_cw)
+    tops = tops_f.reshape(S_, G_, MAX_CHARS)
+    lefts2 = lefts_f.reshape(S_, G_, MAX_CHARS)
+    char_alive = alive0 & valid_f.reshape(S_, G_, MAX_CHARS)
+
+    # compact alive chars left-to-right within each group
+    ord_key = jnp.where(char_alive, jnp.arange(MAX_CHARS)[None, None, :], 9999)
+    ord_idx = jnp.argsort(ord_key, axis=-1)
+    tops_c = jnp.take_along_axis(tops, ord_idx, axis=-1)
+    lefts_c = jnp.take_along_axis(lefts2, ord_idx, axis=-1)
+    n_alive = jnp.sum(char_alive.astype(jnp.int32), axis=-1)  # (3, G)
+
+    # slash windows: first in [0, n_alive-5]; middle char = first+2
+    firsts = jnp.arange(MAX_CHARS - 4)
+    win_ok = (firsts[None, None, :] + 4 < n_alive[:, :, None]) & \
+        (n_alive[:, :, None] >= 5)
+    mid_idx = jnp.clip(firsts + 2, 0, MAX_CHARS - 1)
+    mid_tops = tops_c[:, :, mid_idx]
+    mid_lefts = lefts_c[:, :, mid_idx]
+
+    # slash classification as ONE flat (3*G*12, 176) batch -> MXU
+    flat_t = mid_tops.reshape(-1)
+    flat_l = mid_lefts.reshape(-1)
+    crops = jax.vmap(lambda t, l: _slash_crop(sobel, t, l))(flat_t, flat_l)
+    slash_p = apply_mlp(slash_params, crops)[:, 0]
+    win_ok = win_ok & (slash_p.reshape(win_ok.shape) > 0.7)
 
     # flatten candidates in (stripe, group, first) order and take the first
     # MAX_WINDOWS valid ones — matching the reference's append order
@@ -531,13 +569,21 @@ def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
 def aggregate_windows(state: ExpiryState, windows: ExpiryWindows,
                       scores) -> ExpiryState:
     """expiry_aggregate_grouped_rects (expiry_categorize.cpp:256-331) over
-    the fixed slot table: EWMA-merge matches, decay, insert fresh."""
+    the fixed slot table: EWMA-merge matches, decay, insert fresh.
+
+    Vectorized matching (no scatter chains): each new window is assigned to
+    its first matching slot and each slot merges its first assigned window.
+    This matches the reference's ordered sweep except when several windows
+    match the same slot in one frame (the reference merges each in turn;
+    we merge the first and let the rest coalesce or open fresh slots) —
+    which its within-frame coalescing step makes vanishingly rare.
+    """
     new_valid = windows.valid
     new_top = windows.top
     new_left = windows.left
     new_scores = scores
 
-    # coalesce within new (static W^2 loop; W == 4)
+    # coalesce within new: window j>i folds into the first equivalent i
     for i in range(MAX_WINDOWS):
         coalesced = jnp.asarray(1.0)
         for j in range(MAX_WINDOWS - 1, i, -1):
@@ -545,53 +591,68 @@ def aggregate_windows(state: ExpiryState, windows: ExpiryWindows,
                      (jnp.abs(new_top[j] - new_top[i]) <= V_ALLOW) &
                      (jnp.abs(new_left[j] - new_left[i]) <= H_ALLOW))
             merged = (new_scores[i] * coalesced + new_scores[j]) / (coalesced + 1.0)
-            new_scores = new_scores.at[i].set(
-                jnp.where(match, merged, new_scores[i]))
-            coalesced = jnp.where(match, coalesced + 1.0, coalesced)
-            new_valid = new_valid.at[j].set(new_valid[j] & ~match)
+            sel = jnp.where(match, 1.0, 0.0)
+            row = new_scores[i] * (1 - sel) + merged * sel
+            new_scores = jnp.where(
+                (jnp.arange(MAX_WINDOWS) == i)[:, None, None], row[None],
+                new_scores)
+            coalesced = coalesced + sel
+            new_valid = new_valid & ~((jnp.arange(MAX_WINDOWS) == j) & match)
 
+    # slot-window match matrix (S, W)
+    near = ((jnp.abs(new_top[None, :] - state.top[:, None]) <= V_ALLOW) &
+            (jnp.abs(new_left[None, :] - state.left[:, None]) <= H_ALLOW))
+    m = state.active[:, None] & new_valid[None, :] & near
+
+    # each window -> first matching slot; each slot -> first assigned window
+    win_slot = jnp.argmax(m, axis=0)                      # (W,)
+    win_has = jnp.any(m, axis=0)
+    assign = (jnp.arange(MAX_SLOTS)[:, None] == win_slot[None, :]) & \
+        win_has[None, :]                                  # (S, W)
+    slot_win = jnp.argmax(assign, axis=1)                 # (S,)
+    slot_has = jnp.any(assign, axis=1)
+
+    picked_scores = new_scores[slot_win]                  # (S, 5, 10)
+    picked_top = new_top[slot_win]
+    picked_left = new_left[slot_win]
+
+    sel = slot_has[:, None, None]
+    sc = jnp.where(sel,
+                   state.scores * EXPIRY_DECAY_FACTOR +
+                   picked_scores * (1 - EXPIRY_DECAY_FACTOR),
+                   state.scores)
+    top = jnp.where(slot_has, picked_top, state.top)
+    left = jnp.where(slot_has, picked_left, state.left)
+    recently = state.recently_seen + slot_has.astype(jnp.int32)
+    total = state.total_seen + slot_has.astype(jnp.int32)
     active = state.active
-    top = state.top
-    left = state.left
-    sc = state.scores
-    recently = state.recently_seen
-    total = state.total_seen
 
-    # merge new windows into matching slots
-    for s in range(MAX_SLOTS):
-        for j in range(MAX_WINDOWS - 1, -1, -1):
-            match = (active[s] & new_valid[j] &
-                     (jnp.abs(new_top[j] - top[s]) <= V_ALLOW) &
-                     (jnp.abs(new_left[j] - left[s]) <= H_ALLOW))
-            sc = sc.at[s].set(jnp.where(
-                match,
-                sc[s] * EXPIRY_DECAY_FACTOR +
-                new_scores[j] * (1 - EXPIRY_DECAY_FACTOR),
-                sc[s]))
-            top = top.at[s].set(jnp.where(match, new_top[j], top[s]))
-            left = left.at[s].set(jnp.where(match, new_left[j], left[s]))
-            recently = recently.at[s].add(match.astype(jnp.int32))
-            total = total.at[s].add(match.astype(jnp.int32))
-            new_valid = new_valid.at[j].set(new_valid[j] & ~match)
+    # windows consumed by a merge
+    consumed = win_has & (jnp.max(assign, axis=0) if False else
+                          jnp.any(assign, axis=0))
+    remaining = new_valid & ~consumed
 
     # decay + forget
     recently = jnp.where(active, recently - 1, recently)
     active = active & (recently > 0)
 
-    # insert remaining new windows into free slots
-    for j in range(MAX_WINDOWS):
-        free_slot = jnp.argmin(active.astype(jnp.int32))  # first inactive
-        can = new_valid[j] & ~active[free_slot]
-        active = active.at[free_slot].set(active[free_slot] | can)
-        top = top.at[free_slot].set(jnp.where(can, new_top[j], top[free_slot]))
-        left = left.at[free_slot].set(
-            jnp.where(can, new_left[j], left[free_slot]))
-        sc = sc.at[free_slot].set(
-            jnp.where(can, new_scores[j], sc[free_slot]))
-        recently = recently.at[free_slot].set(
-            jnp.where(can, 3, recently[free_slot]))
-        total = total.at[free_slot].set(
-            jnp.where(can, 1, total[free_slot]))
+    # insert remaining windows into free slots: rank free slots and
+    # remaining windows, pair by rank
+    free_rank = jnp.cumsum((~active).astype(jnp.int32)) - 1   # (S,)
+    new_rank = jnp.cumsum(remaining.astype(jnp.int32)) - 1    # (W,)
+    # slot s takes remaining window j iff s is free with rank r and j is
+    # the r-th remaining window
+    pair = (~active)[:, None] & remaining[None, :] & \
+        (free_rank[:, None] == new_rank[None, :])             # (S, W)
+    take = jnp.any(pair, axis=1)
+    take_win = jnp.argmax(pair, axis=1)
+    sel_t = take[:, None, None]
+    sc = jnp.where(sel_t, new_scores[take_win], sc)
+    top = jnp.where(take, new_top[take_win], top)
+    left = jnp.where(take, new_left[take_win], left)
+    recently = jnp.where(take, 3, recently)
+    total = jnp.where(take, 1, total)
+    active = active | take
 
     return ExpiryState(active=active, top=top, left=left, scores=sc,
                        recently_seen=recently, total_seen=total)

@@ -12,8 +12,17 @@ import pytest
 
 from cardio_dmz_tpu.models import apply_mlp, apply_pan_conv, apply_expiry_conv
 from cardio_dmz_tpu.models.weights import load_params
+from cardio_dmz_tpu.models.zoo import set_precision
 
 TOL = 1e-5
+
+
+@pytest.fixture(autouse=True)
+def _golden_precision():
+    # golden parity requires full fp32 matmuls; serving uses the fast default
+    prev = set_precision("highest")
+    yield
+    set_precision(prev)
 
 
 @pytest.mark.parametrize("name,n_in", [("vseg_mlp", 204), ("slash_mlp", 176)])
