@@ -35,15 +35,21 @@ def prepare_cells(cells):
     return eq.astype(jnp.float32) / 255.0
 
 
-def number_scores(params, y_strip, offsets, n_offsets):
+def number_scores(params, y_strip, offsets, n_offsets, use_pallas=False):
     """Full (16, 10) score matrix; rows >= n_offsets are zero
     (NumberScores, scan/n_categorize.h:14; unused rows stay Zero,
     n_categorize.cpp:93).
 
     params: dict with 'pan_conv_a'/'pan_conv_b'/'pan_conv_c' param dicts.
+    use_pallas: route cell prep through the fused Pallas kernel
+    (ops/pallas/digit_prep.py — bit-identical, TPU only).
     """
-    cells = extract_cells(y_strip, offsets)
-    prepped = prepare_cells(cells)                       # (16, 27, 19)
+    if use_pallas:
+        from ..ops.pallas import prepare_digit_cells_pallas
+        prepped = prepare_digit_cells_pallas(y_strip, offsets)
+    else:
+        cells = extract_cells(y_strip, offsets)
+        prepped = prepare_cells(cells)                   # (16, 27, 19)
     scores = pan_digit_scores(
         params["pan_conv_a"], params["pan_conv_b"], params["pan_conv_c"],
         prepped)                                         # (16, 10)
