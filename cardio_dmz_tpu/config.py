@@ -25,7 +25,10 @@ class ScanConfig:
     trace: bool = False               # DMZ_TRACE
 
     # execution
-    use_pallas: bool = True           # pallas fast paths where available
+    use_pallas: bool = False          # pallas digit-prep kernel (bit-exact;
+    #                                   wins for single-frame latency paths,
+    #                                   loses under the vmapped stream batch
+    #                                   where XLA's fused jnp path is faster)
     interpret_pallas: bool = False    # pallas interpret mode (CPU testing)
 
     # serving shape

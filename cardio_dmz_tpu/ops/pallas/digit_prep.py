@@ -16,7 +16,12 @@ histogram). Equalization is a 256-bin sweep with a running CDF — the same
 lut semantics as cv/stats.cpp:116-159 without any reshape.
 
 Portable fallback: scan/categorize.py's jnp path (identical results —
-parity-tested in interpret mode and on TPU).
+parity-tested in interpret mode and on TPU; max abs diff 0.0 compiled).
+
+When to use which: the Pallas kernel minimizes per-frame latency and VMEM
+round-trips for a SINGLE frame; under the vmapped multi-stream serving
+batch the pallas grid is serialized per stream, and XLA's fused jnp path
+wins — hence config.use_pallas defaults to False for serving.
 """
 
 import functools

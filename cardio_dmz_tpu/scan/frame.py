@@ -15,6 +15,8 @@ import typing
 import jax.numpy as jnp
 from jax import lax
 
+from ..config import DEFAULT_CONFIG
+
 from ..constants import (
     CARD_HEIGHT,
     CARD_WIDTH,
@@ -37,14 +39,20 @@ class FrameResult(typing.NamedTuple):
     upside_down: jnp.ndarray  # bool
 
 
-def scan_card_image(params, y, collect_card_number=True) -> FrameResult:
+def scan_card_image(params, y, collect_card_number=None,
+                    config=DEFAULT_CONFIG) -> FrameResult:
     """y: (270, 428) uint8 rectified card luma. params: load_all_params().
 
     Matches frame.cpp:24-81 gating:
     * upside_down iff vseg.y_offset < (270-27)/2 (frame.cpp:38-41)
     * usable iff vseg.score > 15 (frame.cpp:43)
     * and n_offsets - sum(scores) < 3 (frame.cpp:63-64)
+
+    config: ScanConfig feature gates (static; each config compiles its own
+    graph — the jit analogue of the reference's #ifdef flags).
     """
+    if collect_card_number is None:
+        collect_card_number = config.collect_card_number
     vseg = best_n_vseg(params["vseg_mlp"], y)
 
     upside_down = vseg.y_offset < FLIP_VSEG_Y_OFFSET_CUTOFF
@@ -55,7 +63,10 @@ def scan_card_image(params, y, collect_card_number=True) -> FrameResult:
     strip = lax.dynamic_slice(y, (y_off, 0), (NUMBER_HEIGHT, CARD_WIDTH))
 
     hseg = best_n_hseg(strip, vseg.pattern_type, vseg.number_length)
-    scores = number_scores(params, strip, hseg.offsets, hseg.n_offsets)
+    from ..utils.platform import has_pallas_tpu
+    use_pallas = config.use_pallas and has_pallas_tpu()
+    scores = number_scores(params, strip, hseg.offsets, hseg.n_offsets,
+                           use_pallas=use_pallas)
 
     number_score = hseg.n_offsets.astype(jnp.float32) - jnp.sum(scores)
     number_usable = number_score < MAX_NUMBER_SCORE_DELTA

@@ -219,12 +219,20 @@ def _try_complete(state: ScannerState):
     return accept, digits, n
 
 
-def scanner_result(state: ScannerState) -> tuple:
+def scanner_result(state: ScannerState, scan_forever=False) -> tuple:
     """scanner_result (scan.cpp:88-194). Returns (new_state, ScannerResult).
 
     Pure-functional twist: completion latches into the state, so callers
-    thread the returned state.
+    thread the returned state. scan_forever (static) mirrors SCAN_FOREVER
+    (scan.cpp:13,91-93): never complete — steady-state profiling mode.
     """
+    if scan_forever:
+        return state, ScannerResult(
+            complete=jnp.zeros((), bool),
+            n_numbers=jnp.zeros((), jnp.int32),
+            predictions=jnp.zeros((16,), jnp.int32),
+            expiry_month=jnp.zeros((), jnp.int32),
+            expiry_year=jnp.zeros((), jnp.int32))
     accept, digits, n = _try_complete(state)
     newly = accept & ~state.number_complete
     state = state._replace(
@@ -253,11 +261,17 @@ def scanner_result(state: ScannerState) -> tuple:
     return state, result
 
 
-def scanner_step(params, state: ScannerState, y, scan_expiry=False):
+def scanner_step(params, state: ScannerState, y, scan_expiry=False,
+                 config=None):
     """One full frame step: add_frame + result. The unit that vmaps over
-    streams and folds over time."""
+    streams and folds over time. config (static ScanConfig) overrides the
+    scan_expiry flag and supplies scan_forever / pallas gates."""
+    scan_forever = False
+    if config is not None:
+        scan_expiry = config.scan_expiry
+        scan_forever = config.scan_forever
     state, frame = scanner_add_frame(params, state, y, scan_expiry)
-    state, result = scanner_result(state)
+    state, result = scanner_result(state, scan_forever=scan_forever)
     return state, (frame, result)
 
 
