@@ -348,11 +348,14 @@ def _trim_char(band21, char_left, group_top, char_width):
     return (top0 + tr).astype(jnp.int32), (left0 + lc).astype(jnp.int32), valid
 
 
-def _slash_crop(sobel, top, left):
-    """is_slash input prep (expiry_seg.cpp:29-54): 11x16 sobel crop / 255."""
+def _slash_crop(band21, row_off, left):
+    """is_slash input prep (expiry_seg.cpp:29-54): 11x16 sobel crop / 255.
+
+    band21: the stripe's (21, 428) row band (char tops always fall within
+    it after trimming); row_off: top relative to the band."""
     crop = lax.dynamic_slice(
-        sobel, (jnp.clip(top, 0, CARD_HEIGHT - TRIM_H),
-                jnp.clip(left, 0, CARD_WIDTH - TRIM_W)),
+        band21, (jnp.clip(row_off, 0, EXPANDED_H - TRIM_H),
+                 jnp.clip(left, 0, CARD_WIDTH - TRIM_W)),
         (TRIM_H, TRIM_W))
     return crop.astype(jnp.float32).reshape(-1) / 255.0
 
@@ -506,10 +509,16 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
     mid_tops = tops_c[:, :, mid_idx]
     mid_lefts = lefts_c[:, :, mid_idx]
 
-    # slash classification as ONE flat (3*G*12, 176) batch -> MXU
-    flat_t = mid_tops.reshape(-1)
+    # slash classification as ONE flat (3*G*12, 176) batch -> MXU; crops
+    # come from the per-stripe bands (row offsets are small and local)
+    F_ = mid_tops.shape[-1]
+    flat_roff = (mid_tops -
+                 band_top[:, None, None]).reshape(-1)
     flat_l = mid_lefts.reshape(-1)
-    crops = jax.vmap(lambda t, l: _slash_crop(sobel, t, l))(flat_t, flat_l)
+    flat_band2 = jnp.broadcast_to(
+        jnp.arange(S_)[:, None, None], (S_, G_, F_)).reshape(-1)
+    crops = jax.vmap(lambda bi, r, l: _slash_crop(bands[bi], r, l))(
+        flat_band2, flat_roff, flat_l)
     slash_p = apply_mlp(slash_params, crops)[:, 0]
     win_ok = win_ok & (slash_p.reshape(win_ok.shape) > 0.7)
 
