@@ -259,6 +259,22 @@ def transform_card(sample, corner_points: CornerPoints,
     return unwarp_card(sample, src, out_shape=(CARD_HEIGHT, CARD_WIDTH))
 
 
+def preprocess_frame(y_sample, cb_sample, cr_sample,
+                     orientation=ORIENTATION_LANDSCAPE_RIGHT):
+    """Full camera-frame preprocessing as one jittable graph: detect the
+    card's edges across the Y/Cb/Cr planes and rectify the luma plane to
+    the 428x270 card image (the reference's per-preview-frame host loop,
+    SURVEY.md §3.1-3.2).
+
+    Returns (found: bool scalar, card (270, 428) u8 — zeros when not
+    found). jit/vmap-safe: wrap with jax.jit, vmap over a frame batch.
+    """
+    _, corners = detect_edges(y_sample, cb_sample, cr_sample, orientation)
+    card = transform_card(y_sample, corners, orientation)
+    card = jnp.where(corners.found_all, card, jnp.zeros_like(card))
+    return corners.found_all, card
+
+
 def blur_card(card_rgb, state, unblur_digits=4):
     """dmz_blur_card (dmz.cpp:499-515): median-blur digit cells except the
     last `unblur_digits`. Host-side cosmetic op on numpy images.

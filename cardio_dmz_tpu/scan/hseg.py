@@ -39,6 +39,11 @@ from ..constants import (
 from ..ops import morph_grad3_2d_cross_u8
 
 N_WIDTHS = int(round((HSEG_WIDTH_MAX - HSEG_WIDTH_MIN) / HSEG_WIDTH_STEP))  # 52
+# Largest reachable pattern offset: 428 - rint(17 * 17.1) = 137 (the amex
+# pattern at the minimum width). Bounding the offset axis to 144 shrinks the
+# Hankel/score tensors ~3x with zero effect on results (the validity bank
+# already excludes offsets >= the per-width maximum).
+N_OFFSETS = 144
 
 
 class HSeg(typing.NamedTuple):
@@ -60,7 +65,7 @@ def _template_bank():
     """
     tmpl19 = np.array(HSEG_GRAD_SUM_PATTERN, np.float32)
     templates = np.zeros((2, N_WIDTHS, CARD_WIDTH), np.float32)
-    valid = np.zeros((2, N_WIDTHS, CARD_WIDTH), bool)
+    valid = np.zeros((2, N_WIDTHS, N_OFFSETS), bool)
     centers = np.zeros((2, N_WIDTHS, 16), np.int32)
     for p_idx, pattern_type in enumerate((1, 2)):  # visa-like, amex-like
         mask = PATTERN_MASKS[pattern_type]
@@ -80,7 +85,7 @@ def _template_bank():
                     max_center = max(max_center, c)
             # candidate valid iff o < max_offset (n_hseg.cpp:49-53) and every
             # stamp satisfies o + c + 19 < 428 (n_hseg.cpp:60)
-            for o in range(CARD_WIDTH):
+            for o in range(N_OFFSETS):
                 valid[p_idx, wi, o] = (o < max_offset and
                                        o + max_center + NUMBER_WIDTH < CARD_WIDTH)
     return templates, valid, centers
@@ -111,31 +116,32 @@ def best_n_hseg(y_strip, pattern_type, number_length) -> HSeg:
     gs = grad_profile(y_strip)         # (428,)
 
     # Hankel windows: win[o, x'] = gs[o + x'], zero beyond the right edge.
-    idx = jnp.arange(CARD_WIDTH)[:, None] + jnp.arange(CARD_WIDTH)[None, :]
+    idx = jnp.arange(N_OFFSETS)[:, None] + jnp.arange(CARD_WIDTH)[None, :]
     in_range = idx < CARD_WIDTH
     win = jnp.where(in_range, gs[jnp.clip(idx, 0, CARD_WIDTH - 1)], 0.0)
 
     # prefix_abs[o] = sum of gs[x] for x < o (gs >= 0 after normalization)
-    prefix = jnp.concatenate([jnp.zeros((1,), gs.dtype), jnp.cumsum(gs)])[:-1]
+    prefix = jnp.concatenate(
+        [jnp.zeros((1,), gs.dtype), jnp.cumsum(gs)])[:N_OFFSETS]
 
     # per width: L1 between every window and the template (masked to the
     # in-image region so the zero-padding beyond the edge contributes 0)
     def score_width(t_w):
         # t_w: (2, 428) template for one width
-        d = jnp.abs(win[None, :, :] - t_w[:, None, :])     # (2, 428o, 428x)
+        d = jnp.abs(win[None, :, :] - t_w[:, None, :])     # (2, 144o, 428x)
         d = jnp.where(in_range[None, :, :], d, 0.0)
-        return jnp.sum(d, axis=-1) + prefix[None, :]       # (2, 428)
+        return jnp.sum(d, axis=-1) + prefix[None, :]       # (2, 144)
 
-    scores = lax.map(score_width, jnp.moveaxis(tmpl, 1, 0))  # (W, 2, 428)
-    scores = jnp.moveaxis(scores, 1, 0)                      # (2, W, 428)
+    scores = lax.map(score_width, jnp.moveaxis(tmpl, 1, 0))  # (W, 2, 144)
+    scores = jnp.moveaxis(scores, 1, 0)                      # (2, W, 144)
     scores = jnp.where(ok, scores, jnp.inf)
 
     p_idx = jnp.clip(pattern_type - 1, 0, 1)
-    s = scores[p_idx]                                        # (W, 428)
+    s = scores[p_idx]                                        # (W, 144)
     flat = s.reshape(-1)
     best = jnp.argmin(flat)   # first-min == width-major, offset-minor order
-    wi = best // CARD_WIDTH
-    o = (best % CARD_WIDTH).astype(jnp.int32)
+    wi = best // N_OFFSETS
+    o = (best % N_OFFSETS).astype(jnp.int32)
     width = HSEG_WIDTH_MIN + wi.astype(jnp.float32) * HSEG_WIDTH_STEP
 
     offsets = o + cent[p_idx, wi]                            # (16,)

@@ -98,3 +98,25 @@ def test_blur_card():
     np.testing.assert_array_equal(out[:, x_keep + 24:], card[:, x_keep + 24:])
     # the first digit region changed (blurred)
     assert (out[150:177, 30:49] != card[150:177, 30:49]).any()
+
+
+def test_preprocess_frame_jitted():
+    import jax
+    y, cb, cr, (x0, y0, x1, y1) = synth_ycbcr_card()
+    f = jax.jit(lambda a, b, c: api.preprocess_frame(a, b, c))
+    found, card = f(y, cb, cr)
+    assert bool(found)
+    card = np.asarray(card)
+    assert card.shape == (CARD_HEIGHT, CARD_WIDTH)
+    assert abs(card[40:230, 40:390].mean() - 190) < 8
+
+
+def test_preprocess_frame_not_found_on_blank():
+    import jax
+    rng = np.random.RandomState(3)
+    y = rng.randint(118, 138, (480, 640)).astype(np.uint8)  # featureless
+    cb = np.full((240, 320), 128, np.uint8)
+    cr = np.full((240, 320), 128, np.uint8)
+    found, card = jax.jit(lambda a, b, c: api.preprocess_frame(a, b, c))(y, cb, cr)
+    assert not bool(found)
+    np.testing.assert_array_equal(np.asarray(card), 0)

@@ -147,7 +147,7 @@ def _reference_search(gs, pattern_type):
 
 @pytest.mark.parametrize("width,offset", [(18.0, 35), (17.5, 10), (19.25, 50)])
 def test_hseg_dense_matches_or_beats_reference_search(width, offset):
-    from cardio_dmz_tpu.scan.hseg import _template_bank, best_n_hseg
+    from cardio_dmz_tpu.scan.hseg import _template_bank, N_OFFSETS
     rng = np.random.RandomState(int(width * 10) + offset)
     gs = 0.1 * rng.rand(428).astype(np.float32)
     gs += _stamp_template(1, width, offset)
@@ -159,11 +159,11 @@ def test_hseg_dense_matches_or_beats_reference_search(width, offset):
     # profile stage we bypass: call the internal matcher via a fake strip is
     # awkward, so instead evaluate the template bank directly.
     templates, valid, centers = _template_bank()
-    win = np.zeros((428, 428), np.float32)
-    for o in range(428):
+    win = np.zeros((N_OFFSETS, 428), np.float32)
+    for o in range(N_OFFSETS):
         n = 428 - o
         win[o, :n] = gs[o:]
-    prefix = np.concatenate([[0], np.cumsum(gs)])[:-1]
+    prefix = np.concatenate([[0], np.cumsum(gs)])[:N_OFFSETS]
     scores = np.abs(win[None, :, :] - templates[0][:, None, :]).sum(-1) + prefix[None, :]
     scores[~valid[0]] = np.inf
     wi, o = np.unravel_index(np.argmin(scores), scores.shape)
