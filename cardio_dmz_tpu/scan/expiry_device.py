@@ -348,16 +348,34 @@ def _trim_char(band21, char_left, group_top, char_width):
     return (top0 + tr).astype(jnp.int32), (left0 + lc).astype(jnp.int32), valid
 
 
-def _slash_crop(band21, row_off, left):
-    """is_slash input prep (expiry_seg.cpp:29-54): 11x16 sobel crop / 255.
+def slash_probs_conv(slash_params, bands, roffs, lefts):
+    """P(slash) for every candidate window, without materializing crops.
 
-    band21: the stripe's (21, 428) row band (char tops always fall within
-    it after trimming); row_off: top relative to the band."""
-    crop = lax.dynamic_slice(
-        band21, (jnp.clip(row_off, 0, EXPANDED_H - TRIM_H),
-                 jnp.clip(left, 0, CARD_WIDTH - TRIM_W)),
-        (TRIM_H, TRIM_W))
-    return crop.astype(jnp.float32).reshape(-1) / 255.0
+    is_slash (expiry_seg.cpp:29-54) evaluates the slash MLP on an 11x16
+    sobel crop / 255. The MLP's first layer is linear in the crop, so the
+    hidden pre-activations at EVERY window position are one valid
+    convolution of the stripe band with the 80 first-layer filters
+    reshaped (16, 11) — MXU work — followed by a tiny per-window gather.
+    (Per-window dynamic crops gather ~330 MB/step; this does ~7 GMAC.)
+
+    bands: (3, 21, 428) int; roffs/lefts: (3, K) window positions relative
+    to the band. Returns (3, K) slash probabilities.
+    """
+    w1 = (slash_params["hidden_w"].reshape(-1, TRIM_H, TRIM_W) / 255.0)
+    conv = lax.conv_general_dilated(
+        bands.astype(jnp.float32)[:, None],          # (3, 1, 21, 428)
+        w1[:, None],                                  # (80, 1, 16, 11)
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )                                                 # (3, 80, 6, 418)
+    n_r, n_c = conv.shape[2], conv.shape[3]
+    flat = conv.transpose(0, 2, 3, 1).reshape(bands.shape[0], n_r * n_c, -1)
+    idx = (jnp.clip(roffs, 0, n_r - 1) * n_c +
+           jnp.clip(lefts, 0, n_c - 1))               # (3, K)
+    h_pre = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (3, K, 80)
+    h = jnp.tanh(h_pre + slash_params["hidden_b"])
+    logits = h @ slash_params["logistic_w"].T + slash_params["logistic_b"]
+    return jax.nn.softmax(logits, axis=-1)[..., 0]
 
 
 def _process_stripe(sobel, base, stripe_sum, stripe_valid):
@@ -474,22 +492,25 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
     r_lefts, g_top, g_cw, alive0 = jax.vmap(one)(bases, sums, stripe_ok)
     # shapes: (3, G, 16) r_lefts/alive0; (3, G) g_top/g_cw
 
-    # per-char trimming as ONE flat (3*G*16,) batch; each stripe's chars
-    # share a 21-row band, extracted once per stripe
+    # per-char trimming batched per stripe (band fixed per outer lane —
+    # indexing bands[i] inside a flat vmap would gather a full band copy
+    # per char, ~330 MB of HBM traffic per step)
     S_, G_ = r_lefts.shape[0], r_lefts.shape[1]
     band_top = jnp.clip(g_top[:, 0] - 2, 0, CARD_HEIGHT - EXPANDED_H)  # (3,)
     bands = jax.vmap(lambda t: lax.dynamic_slice(
         sobel, (t, 0), (EXPANDED_H, CARD_WIDTH)))(band_top)  # (3, 21, 428)
-    flat_lefts = r_lefts.reshape(-1)
-    flat_tops = jnp.broadcast_to(g_top[:, :, None],
-                                 (S_, G_, MAX_CHARS)).reshape(-1)
-    flat_cw = jnp.broadcast_to(g_cw[:, :, None],
-                               (S_, G_, MAX_CHARS)).reshape(-1)
-    flat_band = jnp.broadcast_to(
-        jnp.arange(S_)[:, None, None], (S_, G_, MAX_CHARS)).reshape(-1)
-    tops_f, lefts_f, valid_f = jax.vmap(
-        lambda bi, cl, tp, cw: _trim_char(bands[bi], cl, tp, cw))(
-        flat_band, flat_lefts, flat_tops, flat_cw)
+
+    def stripe_trim(band, lefts_s, tops_s, cw_s):
+        return jax.vmap(lambda cl, tp, cw: _trim_char(band, cl, tp, cw))(
+            lefts_s, tops_s, cw_s)
+
+    tops_f, lefts_f, valid_f = jax.vmap(stripe_trim)(
+        bands,
+        r_lefts.reshape(S_, G_ * MAX_CHARS),
+        jnp.broadcast_to(g_top[:, :, None],
+                         (S_, G_, MAX_CHARS)).reshape(S_, G_ * MAX_CHARS),
+        jnp.broadcast_to(g_cw[:, :, None],
+                         (S_, G_, MAX_CHARS)).reshape(S_, G_ * MAX_CHARS))
     tops = tops_f.reshape(S_, G_, MAX_CHARS)
     lefts2 = lefts_f.reshape(S_, G_, MAX_CHARS)
     char_alive = alive0 & valid_f.reshape(S_, G_, MAX_CHARS)
@@ -509,17 +530,11 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
     mid_tops = tops_c[:, :, mid_idx]
     mid_lefts = lefts_c[:, :, mid_idx]
 
-    # slash classification as ONE flat (3*G*12, 176) batch -> MXU; crops
-    # come from the per-stripe bands (row offsets are small and local)
+    # slash classification via band convolution (see slash_probs_conv)
     F_ = mid_tops.shape[-1]
-    flat_roff = (mid_tops -
-                 band_top[:, None, None]).reshape(-1)
-    flat_l = mid_lefts.reshape(-1)
-    flat_band2 = jnp.broadcast_to(
-        jnp.arange(S_)[:, None, None], (S_, G_, F_)).reshape(-1)
-    crops = jax.vmap(lambda bi, r, l: _slash_crop(bands[bi], r, l))(
-        flat_band2, flat_roff, flat_l)
-    slash_p = apply_mlp(slash_params, crops)[:, 0]
+    roff = (mid_tops - band_top[:, None, None]).reshape(S_, G_ * F_)
+    lefts_w = mid_lefts.reshape(S_, G_ * F_)
+    slash_p = slash_probs_conv(slash_params, bands, roff, lefts_w)
     win_ok = win_ok & (slash_p.reshape(win_ok.shape) > 0.7)
 
     # flatten candidates in (stripe, group, first) order and take the first
