@@ -26,7 +26,6 @@ import typing
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from ..constants import (
@@ -36,7 +35,7 @@ from ..constants import (
     EXPIRY_MIN_STABILITY,
     NUMBER_HEIGHT,
 )
-from ..models import apply_mlp, apply_expiry_conv
+from ..models import apply_expiry_conv
 from ..ops import bilateral3x3, equalize_hist, morph_grad3_2d_cross_u8
 
 SMALL_W = 9

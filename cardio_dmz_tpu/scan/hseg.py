@@ -15,8 +15,9 @@ w < 19; later stamps overwrite (Eigen segment assignment) — reproduced in
 the precomputed template bank.
 
 The template bank over (pattern, width) is STATIC: built host-side once,
-embedded as a constant. The per-frame work is one (428x428) Hankel gather
-plus a masked L1 reduction — pure VPU work that XLA fuses.
+embedded as a constant. The per-frame work is one (144x428) Hankel gather
+plus a masked L1 reduction — pure VPU work that XLA fuses (the offset
+axis is bounded by the largest reachable pattern offset, see N_OFFSETS).
 """
 
 import functools

@@ -9,8 +9,6 @@ sharding spec exists so the same code scales and so the multi-chip path is
 exercised by the driver's dry run.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import optax
