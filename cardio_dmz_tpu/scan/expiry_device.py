@@ -700,15 +700,18 @@ def extract_expiry(state: ExpiryState, best_month, best_year,
     month, year = (jnp.where(swap, year, month), jnp.where(swap, month, year))
     full_year = year + 2000
 
-    for s in range(MAX_SLOTS):
-        cand_ok = (trusted[s] & all_stable[s] &
-                   (month[s] > 0) & (month[s] <= 12))
-        later = (full_year[s] > best_year) | \
-            ((full_year[s] == best_year) & (month[s] > best_month))
-        window_ok = (full_year[s] < now_year + 5) & \
-            ((full_year[s] > now_year) |
-             ((full_year[s] == now_year) & (month[s] >= now_month)))
-        take = cand_ok & later & window_ok
-        best_month = jnp.where(take, month[s], best_month)
-        best_year = jnp.where(take, full_year[s], best_year)
+    # vectorized over slots: the reference's sequential prefer-later sweep
+    # (expiry_categorize.cpp:370-375) is equivalent to taking the latest
+    # valid date (key = year*16 + month is monotone; argmax's
+    # first-occurrence tie-break matches "strictly later replaces")
+    cand_ok = trusted & all_stable & (month > 0) & (month <= 12)
+    window_ok = (full_year < now_year + 5) & \
+        ((full_year > now_year) |
+         ((full_year == now_year) & (month >= now_month)))
+    key = jnp.where(cand_ok & window_ok, full_year * 16 + month, -1)
+    i = jnp.argmax(key)
+    best_key = best_year * 16 + best_month
+    take = key[i] > best_key
+    best_month = jnp.where(take, month[i], best_month)
+    best_year = jnp.where(take, full_year[i], best_year)
     return best_month, best_year

@@ -175,3 +175,31 @@ def test_hseg_dense_matches_or_beats_reference_search(width, offset):
     # and on a template-generated profile it recovers the truth
     assert dense_w == pytest.approx(width, abs=0.051)
     assert abs(o - offset) <= 1
+
+
+def test_aggregate_digit_accuracy_on_usable_frames():
+    """Digit-level accuracy proxy for the >=99.5%-agreement target: on
+    varied synthetic renders, usable frames must read >=90% of digits
+    correctly single-frame (the session EWMA + acceptance gates then push
+    accepted reads to 100% — see test_session / serve_demo)."""
+    params = _params()
+    f = jax.jit(jax.vmap(lambda y: scan_card_image(params, y)))
+    rng = np.random.RandomState(42)
+    frames, truths = [], []
+    for i in range(32):
+        pan = synthetic.safe_pan(rng)
+        frames.append(synthetic.render_frame(
+            pan, y0=135 + (i % 10) * 8, width=17.4 + 0.15 * (i % 8),
+            offset=20 + (i % 8) * 4, seed=i, noise=1))
+        truths.append(pan)
+    r = f(np.stack(frames))
+    usable = np.asarray(r.usable)
+    pred = np.asarray(r.scores).argmax(-1)
+    total = correct = 0
+    for i in range(32):
+        if usable[i]:
+            got = "".join(map(str, pred[i][:16]))
+            correct += sum(a == b for a, b in zip(got, truths[i]))
+            total += 16
+    assert usable.sum() >= 16          # most varied configs are scannable
+    assert correct / total >= 0.90

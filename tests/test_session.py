@@ -112,3 +112,20 @@ def test_scanner_reset_state_shape():
     assert not bool(s.number_complete)
     s2, result = scanner_result(s)
     assert not bool(result.complete)
+
+
+def test_scan_forever_never_completes():
+    """SCAN_FOREVER profiling mode (scan.cpp:13,91-93): frames accumulate
+    but the result never completes."""
+    from cardio_dmz_tpu.config import DEFAULT_CONFIG
+    from cardio_dmz_tpu.session import scanner_step
+    import jax.numpy as jnp
+    cfg = DEFAULT_CONFIG.replace(scan_forever=True, scan_expiry=False)
+    params = _params()
+    frames = _frames("4111111111111111", n=6, y0=150, width=18.0, offset=35)
+    state = scanner_reset()
+    step = jax.jit(lambda s, y: scanner_step(params, s, y, config=cfg))
+    for t in range(6):
+        state, (fr, res) = step(state, frames[t])
+        assert not bool(res.complete)
+    assert int(state.count16) >= 4  # frames still accumulate
