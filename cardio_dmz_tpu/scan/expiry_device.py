@@ -567,21 +567,33 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
 
 def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
     """Per window, classify chars 0,1,3,4 (expiry_categorize.cpp:149-252).
-    Returns (MAX_WINDOWS, 5, 10) scores (slash row zero)."""
-    def prep_char(top, left):
-        crop = lax.dynamic_slice(
-            y_img, (jnp.clip(top, 0, CARD_HEIGHT - TRIM_H),
-                    jnp.clip(left, 0, CARD_WIDTH - TRIM_W)),
-            (TRIM_H, TRIM_W))
-        grad = morph_grad3_2d_cross_u8(crop)
-        eq = equalize_hist(grad)
-        sm = bilateral3x3(eq)
-        return sm.astype(jnp.float32) / 255.0
+    Returns (MAX_WINDOWS, 5, 10) scores (slash row zero).
 
+    Crops are taken from a per-window 21-row luma band (all of a window's
+    trimmed chars fall within it) — per-char full-image dynamic slices were
+    the stage's dominant cost."""
     digit_idx = jnp.asarray([0, 1, 3, 4])
-    tops = windows.char_tops[:, digit_idx].reshape(-1)      # (W*4,)
-    lefts = windows.char_lefts[:, digit_idx].reshape(-1)
-    cells = jax.vmap(prep_char)(tops, lefts)                # (W*4, 16, 11)
+
+    def per_window(win_top, ctops, clefts):
+        band_top = jnp.clip(win_top - 2, 0, CARD_HEIGHT - EXPANDED_H)
+        band = lax.dynamic_slice(y_img, (band_top, 0),
+                                 (EXPANDED_H, CARD_WIDTH))
+
+        def prep_char(top, left):
+            crop = lax.dynamic_slice(
+                band, (jnp.clip(top - band_top, 0, EXPANDED_H - TRIM_H),
+                       jnp.clip(left, 0, CARD_WIDTH - TRIM_W)),
+                (TRIM_H, TRIM_W))
+            grad = morph_grad3_2d_cross_u8(crop)
+            eq = equalize_hist(grad)
+            sm = bilateral3x3(eq)
+            return sm.astype(jnp.float32) / 255.0
+
+        return jax.vmap(prep_char)(ctops[digit_idx], clefts[digit_idx])
+
+    cells = jax.vmap(per_window)(windows.top, windows.char_tops,
+                                 windows.char_lefts)       # (W, 4, 16, 11)
+    cells = cells.reshape(-1, TRIM_H, TRIM_W)               # (W*4, 16, 11)
     probs = apply_expiry_conv(expiry_params, cells)         # (W*4, 10)
     probs = probs.reshape(MAX_WINDOWS, 4, 10)
     scores = jnp.zeros((MAX_WINDOWS, 5, 10), jnp.float32)
