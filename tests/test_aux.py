@@ -67,3 +67,19 @@ def test_params_checkpoint_roundtrip(tmp_path):
     restored = load_params_npz(path)
     np.testing.assert_allclose(np.asarray(restored["vseg_mlp"]["hidden_b"]),
                                np.asarray(params["vseg_mlp"]["hidden_b"]))
+
+
+def test_debug_image_dumps(tmp_path):
+    import sys
+    sys.path.insert(0, "tests")
+    import synthetic
+    from cardio_dmz_tpu.models.weights import load_params
+    from cardio_dmz_tpu.utils.debug_images import dump_expiry_stages
+    y = synthetic.render_frame_with_expiry(
+        "4111111111111111", "08/27", y0=150, offset=35, expiry_y=210,
+        expiry_x=120, noise=1, seed=0, expiry_size=20, expiry_spacing=12)
+    paths = dump_expiry_stages(y, 150, load_params("slash_mlp"),
+                               str(tmp_path))
+    assert len(paths) == 4
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 0
