@@ -663,8 +663,7 @@ def aggregate_windows(state: ExpiryState, windows: ExpiryWindows,
     active = state.active
 
     # windows consumed by a merge
-    consumed = win_has & (jnp.max(assign, axis=0) if False else
-                          jnp.any(assign, axis=0))
+    consumed = win_has & jnp.any(assign, axis=0)
     remaining = new_valid & ~consumed
 
     # decay + forget

@@ -28,11 +28,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import (
+    CARD_HEIGHT,
     MIN_FRAME_LEAD,
     PAN_DECAY_FACTOR,
     PAN_MIN_STABILITY,
+    SMALL_CHARACTER_HEIGHT,
 )
-from ..constants import CARD_HEIGHT, SMALL_CHARACTER_HEIGHT
 from ..utils.olm import card_type_valid_jax, luhn_checksum_jax
 from ..scan.frame import FrameResult, scan_card_image
 from ..scan.expiry_device import (

@@ -122,3 +122,21 @@ def test_full_session_in_graph_with_expiry():
     assert int(state.expiry_year) == 2027
     assert bool(np.asarray(res.complete)[-1])
     assert int(np.asarray(res.expiry_month)[-1]) == 8
+
+
+def test_caps_hold_on_text_heavy_frame():
+    """A frame with many text lines must respect the fixed caps (<= 4
+    windows, no crash) and keep all reported windows in-bounds."""
+    import synthetic
+    y = synthetic.render_frame("4111111111111111", y0=120, offset=35,
+                               width=18.0, seed=0, noise=1)
+    for row, x in ((175, 40), (175, 200), (200, 60), (225, 100), (250, 50)):
+        y = synthetic.render_text_small(y, "01/29 08/31", row, x,
+                                        size=20, spacing=12)
+    w = _seg_fn()(y, jnp.asarray(120))
+    valid = np.asarray(w.valid)
+    assert valid.sum() <= 4
+    lefts = np.asarray(w.char_lefts)[valid]
+    tops = np.asarray(w.char_tops)[valid]
+    assert (lefts >= 0).all() and (lefts <= 428 - 11).all()
+    assert (tops >= 0).all() and (tops <= 270 - 16).all()
