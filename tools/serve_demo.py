@@ -41,6 +41,11 @@ def main():
     mesh = make_mesh()
     step, place, init = make_sharded_step(params, mesh,
                                           scan_expiry=args.expiry)
+    # warm the compile before the serving window opens (first compile of
+    # the full graph takes tens of seconds on TPU)
+    warm = init(args.streams)
+    import jax.numpy as jnp
+    step(warm, place(jnp.zeros((args.streams, 270, 428), jnp.uint8)))
     states = init(args.streams)
     pump = FramePump(args.streams, frame_shape=(270, 428))
 
