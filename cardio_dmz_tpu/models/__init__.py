@@ -5,3 +5,4 @@ from .zoo import (  # noqa: F401
     pan_digit_scores,
 )
 from .weights import load_params, load_all_params  # noqa: F401
+from .selfcheck import self_check, all_models_pass  # noqa: F401

@@ -65,3 +65,12 @@ def test_pan_conv_batched_matches_single():
     for i in range(3):
         out_s = np.asarray(apply_pan_conv(params, batch[i]))
         np.testing.assert_allclose(out_b[i], out_s, atol=1e-6)
+
+
+def test_runtime_self_check():
+    """TestGeneratedModels +selfCheck equivalent: all six model instances
+    reproduce their baked golden outputs at 1e-5."""
+    from cardio_dmz_tpu.models import self_check
+    results = self_check()
+    assert len(results) == 6
+    assert all(results.values()), results
