@@ -140,3 +140,31 @@ def test_caps_hold_on_text_heavy_frame():
     tops = np.asarray(w.char_tops)[valid]
     assert (lefts >= 0).all() and (lefts <= 428 - 11).all()
     assert (tops >= 0).all() and (tops <= 270 - 16).all()
+
+
+def test_device_matches_host_on_fuzzed_frames():
+    """Device/host parity under noise + random distractor text lines."""
+    rng = np.random.RandomState(0)
+    params = _params()
+    for trial in range(4):
+        vy = 120 + (trial % 4) * 10
+        y = synthetic.render_frame("4111111111111111", y0=vy, offset=30,
+                                   width=18.0, seed=trial, noise=2)
+        for _ in range(rng.randint(0, 3)):
+            row = rng.randint(170, 248)
+            x = rng.randint(30, 200)
+            txt = "".join(rng.choice(list("0123456789/"))
+                          for _ in range(rng.randint(4, 9)))
+            y = synthetic.render_text_small(y, txt, row, x, size=20,
+                                            spacing=12)
+        hg, _ = host_seg.best_expiry_seg(y, vy, params["slash_mlp"])
+        w = _seg_fn()(y, jnp.asarray(vy))
+        host_set = {(g.top, g.left, tuple(r.left for r in g.character_rects))
+                    for g in hg}
+        dev_set = set()
+        for i in range(4):
+            if np.asarray(w.valid)[i]:
+                dev_set.add((int(np.asarray(w.top)[i]),
+                             int(np.asarray(w.left)[i]),
+                             tuple(int(x) for x in np.asarray(w.char_lefts)[i])))
+        assert host_set == dev_set, (trial, host_set, dev_set)
