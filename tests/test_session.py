@@ -129,3 +129,40 @@ def test_scan_forever_never_completes():
         state, (fr, res) = step(state, frames[t])
         assert not bool(res.complete)
     assert int(state.count16) >= 4  # frames still accumulate
+
+
+def test_fifteen_digit_amex_acceptance_path():
+    """15-digit (amex) acceptance logic: count15 lead, aggregated15 digits,
+    Luhn + BIN over 15 digits (scan.cpp:99-160). Exercised directly at the
+    state level (the synthetic renderer's amex rows read as visa-like to
+    the vseg model, so the full-frame path can't produce this)."""
+    import jax.numpy as jnp
+    from cardio_dmz_tpu.session import scanner_result
+    pan = "343434343434343"  # Luhn-valid amex
+    agg = np.full((16, 10), 0.01, np.float32)
+    for i, d in enumerate(pan):
+        agg[i, int(d)] = 0.95
+    agg[15] = 0.0
+    state = scanner_reset()._replace(
+        count15=jnp.asarray(5, jnp.int32),
+        count16=jnp.asarray(0, jnp.int32),
+        aggregated15=jnp.asarray(agg),
+    )
+    state, result = scanner_result(state)
+    assert bool(state.number_complete)
+    assert int(state.completed_n) == 15
+    got = "".join(map(str, np.asarray(state.completed_digits)[:15]))
+    assert got == pan
+
+    # same state but an invalid-BIN 15-digit number must NOT be accepted
+    agg2 = np.full((16, 10), 0.01, np.float32)
+    for i, d in enumerate("143434343434349"):  # prefix 14: no 15-digit BIN
+        agg2[i, int(d)] = 0.95
+    agg2[15] = 0.0
+    state2 = scanner_reset()._replace(
+        count15=jnp.asarray(5, jnp.int32),
+        count16=jnp.asarray(0, jnp.int32),
+        aggregated15=jnp.asarray(agg2),
+    )
+    state2, _ = scanner_result(state2)
+    assert not bool(state2.number_complete)
