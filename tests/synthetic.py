@@ -13,26 +13,47 @@ from PIL import Image, ImageDraw, ImageFont
 from cardio_dmz_tpu.constants import PATTERN_MASKS
 
 FONT_PATH = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf"
+FONT_BOLD_PATH = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf"
 FONT_SIZE = 24
 DIGIT_FILL = 60
 CARD_BG = 140
 
-# digits the ported models read reliably in this rendering
-SAFE_DIGITS = (0, 1, 3, 4, 5, 8, 9)
+# all digits render reliably: most via DejaVu mono 24; "2" via mono-bold 26;
+# "6"/"7" via hand-drawn Farrington-7B-style stroke glyphs (the models were
+# trained on the embossed card font, whose 6/7 shapes no system font has)
+SAFE_DIGITS = tuple(range(10))
+
+_STROKE_GLYPHS = {
+    # (r0, c0, r1, c1) filled rectangles in the 27x19 cell
+    6: [(3, 4, 24, 7), (13, 4, 16, 15), (22, 4, 24, 15), (13, 12, 24, 15)],
+    7: [(3, 3, 6, 16), (3, 11, 24, 14)],
+}
 
 
 def render_digit_cell(digit, seed=0, fill=DIGIT_FILL, bg=CARD_BG):
     """One 27x19 digit cell (dark digit on card background + mild noise)."""
     r = np.random.RandomState(seed)
-    img = Image.new("L", (19, 27), bg)
-    draw = ImageDraw.Draw(img)
-    font = ImageFont.truetype(FONT_PATH, FONT_SIZE)
-    s = str(digit)
-    bbox = draw.textbbox((0, 0), s, font=font)
-    w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
-    x, y = (19 - w) // 2 - bbox[0], (27 - h) // 2 - bbox[1]
-    draw.text((x, y), s, fill=fill, font=font)
-    a = np.asarray(img).astype(int) + r.randint(-4, 5, (27, 19))
+    digit = int(digit)
+    if digit in _STROKE_GLYPHS:
+        a = np.full((27, 19), bg, int)
+        for (r0, c0, r1, c1) in _STROKE_GLYPHS[digit]:
+            a[r0:r1, c0:c1] = fill
+    else:
+        img = Image.new("L", (19, 27), bg)
+        draw = ImageDraw.Draw(img)
+        if digit == 2:
+            font = ImageFont.truetype(FONT_BOLD_PATH, 26)
+            dx = 1
+        else:
+            font = ImageFont.truetype(FONT_PATH, FONT_SIZE)
+            dx = 0
+        s = str(digit)
+        bbox = draw.textbbox((0, 0), s, font=font)
+        w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        x, y = (19 - w) // 2 - bbox[0] + dx, (27 - h) // 2 - bbox[1]
+        draw.text((x, y), s, fill=fill, font=font)
+        a = np.asarray(img).astype(int)
+    a = a + r.randint(-4, 5, (27, 19))
     return np.clip(a, 0, 255).astype(np.uint8)
 
 

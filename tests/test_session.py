@@ -166,3 +166,17 @@ def test_fifteen_digit_amex_acceptance_path():
     )
     state2, _ = scanner_result(state2)
     assert not bool(state2.number_complete)
+
+
+def test_full_alphabet_pan_session():
+    """A PAN containing the previously hard digits 2, 6, 7 is read end to
+    end (digit renderings: mono-bold "2", Farrington-style stroke glyphs
+    for "6"/"7" — the shapes the reference models were trained on)."""
+    pan = "4267267267267263"
+    from cardio_dmz_tpu.utils import passes_luhn_checksum
+    assert passes_luhn_checksum([int(c) for c in pan])
+    frames = _frames(pan, n=8, y0=150, width=18.0, offset=35)
+    state, (fr, res) = _run_fn()(frames)
+    assert bool(state.number_complete)
+    got = "".join(map(str, np.asarray(state.completed_digits)[:16]))
+    assert got == pan
