@@ -320,6 +320,65 @@ class RefOracle:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
         return out
 
+    # ----------------------------------------------- expiry stage oracles
+    def expiry_sobel(self, y, y_offset: int):
+        a = _as_u8(y)
+        out = np.zeros((CARD_H, CARD_W), dtype=np.int16)
+        self._lib.ref_expiry_sobel(
+            _ptr(a), int(y_offset),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        return out
+
+    def find_character_groups(self, sobel, base_row: int, stripe_sum: int):
+        s = np.ascontiguousarray(sobel, dtype=np.int16)
+        eg = (_RefGroup * REF_MAX_GROUPS)()
+        ng = (_RefGroup * REF_MAX_GROUPS)()
+        n_e, n_n = _i32(0), _i32(0)
+        self._lib.ref_find_character_groups(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), int(base_row),
+            _i64(int(stripe_sum)), eg, ctypes.byref(n_e), ng, ctypes.byref(n_n))
+        return ([RefGroupResult.from_c(eg[i]) for i in range(n_e.value)],
+                [RefGroupResult.from_c(ng[i]) for i in range(n_n.value)])
+
+    def regrid_group(self, sobel, group: RefGroupResult) -> RefGroupResult:
+        s = np.ascontiguousarray(sobel, dtype=np.int16)
+        g = group.to_c()
+        self._lib.ref_regrid_group(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), ctypes.byref(g))
+        return RefGroupResult.from_c(g)
+
+    def optimize_character_rects(self, sobel, group: RefGroupResult) -> RefGroupResult:
+        s = np.ascontiguousarray(sobel, dtype=np.int16)
+        g = group.to_c()
+        self._lib.ref_optimize_character_rects(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), ctypes.byref(g))
+        return RefGroupResult.from_c(g)
+
+    def slash_prob(self, sobel, top: int, left: int) -> float:
+        s = np.ascontiguousarray(sobel, dtype=np.int16)
+        self._lib.ref_slash_prob.restype = ctypes.c_float
+        return float(self._lib.ref_slash_prob(
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), int(top), int(left)))
+
+    def gather_into_groups(self, tops, lefts, sums, tolerance: int):
+        n = len(tops)
+        t = (_i32 * n)(*tops)
+        l = (_i32 * n)(*lefts)
+        sm = (_i64 * n)(*[int(x) for x in sums])
+        out = (_RefGroup * REF_MAX_GROUPS)()
+        n_out = _i32(0)
+        self._lib.ref_gather_into_groups(t, l, sm, n, int(tolerance), out,
+                                         ctypes.byref(n_out))
+        return [RefGroupResult.from_c(out[i]) for i in range(n_out.value)]
+
+    def expiry_prep_char(self, y, top: int, left: int):
+        a = _as_u8(y)
+        out = np.zeros((16, 11), dtype=np.float32)
+        self._lib.ref_expiry_prep_char(
+            _ptr(a), int(top), int(left),
+            out.ctypes.data_as(ctypes.POINTER(_f32)))
+        return out
+
     # ------------------------------------------------------------- models
     def model_vseg(self, x204):
         a = np.ascontiguousarray(x204, dtype=np.float32)

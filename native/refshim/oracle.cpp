@@ -452,6 +452,125 @@ void ref_scharr3_abs(const uint8_t *src, int w, int h, int is_dx,
   cvReleaseImage(&s);
 }
 
+// ---------------------- expiry-seg stage-level oracles ---------------------
+// Direct access to the reference's own static stage functions so each stage
+// of the host/device expiry pipeline can be A/B'd with controlled inputs.
+
+static IplImage *wrap_s16(const int16_t *buf, int w, int h) {
+  IplImage *img = cvCreateImage(cvSize(w, h), IPL_DEPTH_16S, 1);
+  for (int r = 0; r < h; r++)
+    memcpy(img->imageData + (size_t)r * img->widthStep, buf + (size_t)r * w,
+           w * sizeof(int16_t));
+  return img;
+}
+
+// The scharr/sobel image exactly as best_expiry_seg computes it
+// (expiry_seg.cpp:714-739: zeroed full-card image, ROI'd scharr below the
+// PAN row).
+void ref_expiry_sobel(const uint8_t *y, int y_offset, int16_t *out) {
+  IplImage *img = wrap_gray(y, kCreditCardTargetWidth, kCreditCardTargetHeight);
+  IplImage *sobel = cvCreateImage(cvGetSize(img), IPL_DEPTH_16S, 1);
+  cvSetZero(sobel);
+  CvRect below = cvRect(0, y_offset + kNumberHeight, kCreditCardTargetWidth,
+                        kCreditCardTargetHeight - (y_offset + kNumberHeight));
+  cvSetImageROI(img, below);
+  cvSetImageROI(sobel, below);
+  llcv_scharr3_dx_abs(img, sobel);
+  cvResetImageROI(sobel);
+  for (int r = 0; r < kCreditCardTargetHeight; r++)
+    memcpy(out + (size_t)r * kCreditCardTargetWidth,
+           sobel->imageData + (size_t)r * sobel->widthStep,
+           kCreditCardTargetWidth * sizeof(int16_t));
+  cvReleaseImage(&sobel);
+  cvReleaseImage(&img);
+}
+
+// The reference's find_character_groups_for_stripe on a caller-provided
+// sobel image (expiry_seg.cpp:386-704).
+void ref_find_character_groups(const int16_t *sobel, int base_row,
+                               int64_t stripe_sum, RefGroup *expiry_out,
+                               int32_t *n_expiry, RefGroup *name_out,
+                               int32_t *n_name) {
+  IplImage *simg = wrap_s16(sobel, kCreditCardTargetWidth, kCreditCardTargetHeight);
+  GroupedRectsList expiry_groups, name_groups;
+  find_character_groups_for_stripe(NULL, simg, base_row, (long)stripe_sum,
+                                   expiry_groups, name_groups);
+  copy_group_list(expiry_groups, expiry_out, n_expiry);
+  copy_group_list(name_groups, name_out, n_name);
+  cvReleaseImage(&simg);
+}
+
+// regrid_group (expiry_seg.cpp:174-241) on a caller-provided group.
+void ref_regrid_group(const int16_t *sobel, RefGroup *group) {
+  IplImage *simg = wrap_s16(sobel, kCreditCardTargetWidth, kCreditCardTargetHeight);
+  GroupedRects g = group_from_ref(group);
+  regrid_group(simg, g);
+  copy_group(g, group);
+  cvReleaseImage(&simg);
+}
+
+// optimize_character_rects (expiry_seg.cpp:243-343).
+void ref_optimize_character_rects(const int16_t *sobel, RefGroup *group) {
+  IplImage *simg = wrap_s16(sobel, kCreditCardTargetWidth, kCreditCardTargetHeight);
+  GroupedRects g = group_from_ref(group);
+  optimize_character_rects(simg, g);
+  copy_group(g, group);
+  cvReleaseImage(&simg);
+}
+
+// is_slash (expiry_seg.cpp:50-54); returns P(slash).
+float ref_slash_prob(const int16_t *sobel, int top, int left) {
+  IplImage *simg = wrap_s16(sobel, kCreditCardTargetWidth, kCreditCardTargetHeight);
+  IplImage *as_float = cvCreateImage(
+      cvSize(kTrimmedCharacterImageWidth, kTrimmedCharacterImageHeight),
+      IPL_DEPTH_32F, 1);
+  CharacterRect rect(top, left, 0);
+  prepare_image_for_seg(simg, as_float, &rect);
+  SlashProbabilities probs = slash_probabilities(as_float);
+  cvReleaseImage(&as_float);
+  cvReleaseImage(&simg);
+  return probs(0, 0);
+}
+
+// gather_into_groups (expiry_seg.cpp:135-172) over bare 9x17 rects.
+void ref_gather_into_groups(const int32_t *tops, const int32_t *lefts,
+                            const int64_t *sums, int n, int tolerance,
+                            RefGroup *out, int32_t *n_out) {
+  GroupedRectsList items;
+  for (int i = 0; i < n; i++) {
+    GroupedRects r;
+    r.top = tops[i];
+    r.left = lefts[i];
+    r.width = kSmallCharacterWidth;
+    r.height = kSmallCharacterHeight + 2;
+    r.grouped_yet = false;
+    r.sum = (long)sums[i];
+    r.character_width = kSmallCharacterWidth;
+    items.push_back(r);
+  }
+  GroupedRectsList groups;
+  gather_into_groups(groups, items, tolerance);
+  copy_group_list(groups, out, n_out);
+}
+
+// prepare_image_for_cat (expiry_categorize.cpp:37-73): morph-grad ->
+// equalize -> 3x3 bilateral -> f32, on the 11x16 char at (top, left).
+void ref_expiry_prep_char(const uint8_t *y, int top, int left, float *out) {
+  IplImage *img = wrap_gray(y, kCreditCardTargetWidth, kCreditCardTargetHeight);
+  IplImage *as_float = cvCreateImage(
+      cvSize(kTrimmedCharacterImageWidth, kTrimmedCharacterImageHeight),
+      IPL_DEPTH_32F, 1);
+  CharacterRectList rects;
+  rects.push_back(CharacterRect(top, left, 0));
+  prepare_image_for_cat(img, as_float, rects.begin());
+  for (int r = 0; r < kTrimmedCharacterImageHeight; r++)
+    memcpy(out + (size_t)r * kTrimmedCharacterImageWidth,
+           as_float->imageData + (size_t)r * as_float->widthStep,
+           kTrimmedCharacterImageWidth * sizeof(float));
+  cvReleaseImage(&as_float);
+  cvReleaseImage(&img);
+}
+
 // Per-model inference oracles, straight from the generated C++ (models/).
 void ref_model_vseg(const float *input204, float *out3) {
   Eigen::Matrix<float, 1, 204, Eigen::RowMajor> in;

@@ -104,30 +104,89 @@ def safe_pan(rng, length=16, prefix=(4,)):
             return "".join(map(str, digits + [c]))
 
 
+FONT_SANS_PATH = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+FONT_SANS_BOLD_PATH = "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf"
+FONT_SERIF_BOLD_PATH = "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf"
+
+# Expiry glyphs, tuned jointly against the COMPILED reference (refbridge):
+# ink must be tall enough (~13-15 rows) for the reference's 15-row stripe
+# segmentation (expiry_seg.cpp dim-sub-stripe filters) AND readable by its
+# expiry conv model after the prepare_image_for_cat chain.  DejaVu Sans Mono
+# Bold 18 on a 13px pitch with the embossed slash stroke is the most reliable
+# uniform configuration found; per-digit accuracy still varies (DejaVu != the
+# embossed Farrington training font), so expiry tests use dates from
+# RELIABLE_EXPIRY_DATES (measured against the reference session).
+_EXPIRY_DIGIT_FONTS = {d: (FONT_BOLD_PATH, 18) for d in range(10)}
+
+EXPIRY_SAFE_DIGITS = (0, 1, 2, 3, 4, 5, 7, 8, 9)  # 6's glyph is marginal
+
+# Dates the compiled reference (refbridge session) reads correctly with this
+# renderer, measured over 16-frame sessions.  Note the reference's date
+# sanity window (expiry_categorize.cpp:334-399): accepted dates must lie in
+# [now, now+5y], so tests must also pick in-window dates.  Failures outside
+# this list cluster on glyph "6"/"0" trim alignment (DejaVu vs the embossed
+# training font), not on pipeline bugs.
+RELIABLE_EXPIRY_DATES = (
+    "01/27", "02/27", "03/27", "04/27", "05/27", "07/27", "09/27", "11/27",
+    "12/27", "01/28", "02/28", "03/28", "04/28", "07/28", "08/28", "09/28",
+    "11/28", "12/28",
+)
+
+
+def draw_expiry_slash(y, top, left, w=7, h=15, fill=DIGIT_FILL, thick=3):
+    """Embossed-style diagonal slash stroke (bottom-left -> top-right).
+
+    The reference's slash MLP (modelm_730c4cbd) was trained on real embossed
+    card slashes; thin font slashes score ~0.05 while this stroke passes the
+    0.7 gate (expiry_seg.cpp:50-54)."""
+    y = np.asarray(y).copy()
+    for r in range(h):
+        c = left + int(round((h - 1 - r) * (w - 1) / (h - 1)))
+        y[top + r, c:c + thick] = fill
+    return y
+
+
 def render_text_small(y, text, y0, x0, size=15, fill=DIGIT_FILL, spacing=None):
-    """Render small text (e.g. an expiry "08/27") onto frame y in place.
-    spacing: fixed char advance (None = natural font advance)."""
+    """Render small text (e.g. an expiry "08/27") onto frame y.
+
+    Digits use the per-digit reference-tuned fonts (_EXPIRY_DIGIT_FONTS),
+    centered on a `spacing`-pitch grid; '/' uses the embossed slash stroke.
+    spacing: fixed char advance (None = 13)."""
     from PIL import Image, ImageDraw, ImageFont
-    font = ImageFont.truetype(FONT_PATH, size)
-    img = Image.fromarray(y)
-    draw = ImageDraw.Draw(img)
     if spacing is None:
-        draw.text((x0, y0), text, fill=fill, font=font)
-    else:
-        for i, ch in enumerate(text):
-            draw.text((x0 + i * spacing, y0), ch, fill=fill, font=font)
-    return np.asarray(img).copy()
+        spacing = 13
+    img = Image.fromarray(np.asarray(y))
+    draw = ImageDraw.Draw(img)
+    slash_positions = []
+    for i, ch in enumerate(text):
+        if ch == "/":
+            slash_positions.append(i)
+            continue
+        if ch.isdigit():
+            path, fsize = _EXPIRY_DIGIT_FONTS[int(ch)]
+        else:
+            path, fsize = FONT_PATH, size
+        font = ImageFont.truetype(path, fsize)
+        bbox = draw.textbbox((0, 0), ch, font=font)
+        w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        # center the ink in an 11x16 window on the spacing grid
+        x = x0 + i * spacing + (11 - w) // 2 - bbox[0]
+        yy = y0 + (16 - h) // 2 - bbox[1]
+        draw.text((x, yy), ch, fill=fill, font=font)
+    out = np.asarray(img).copy()
+    for i in slash_positions:
+        out = draw_expiry_slash(out, y0, x0 + i * spacing + 1, fill=fill)
+    return out
 
 
 def render_frame_with_expiry(pan, expiry_text, y0=150, width=18.0, offset=30,
                              expiry_y=None, expiry_x=120, seed=0, bg=CARD_BG,
-                             noise=1, expiry_size=15, expiry_spacing=12):
+                             noise=1, expiry_size=15, expiry_spacing=13):
     """Card frame with a PAN row and an expiry line below it.
 
-    NOTE: real cards print expiry in a monospaced font; DejaVu's uneven
-    glyph widths (narrow "1") shift the segmentation regrid for some digit
-    combinations, so tests use dates that segment reliably (e.g. 08/27,
-    06/29). The date-logic itself is unit-tested across all digits."""
+    The expiry line uses reference-model-tuned digit glyphs and an
+    embossed-style slash, so the compiled reference (refbridge) segments and
+    categorizes it — enabling end-to-end expiry A/B."""
     y = render_frame(pan, y0=y0, width=width, offset=offset, seed=seed,
                      bg=bg, noise=noise)
     if expiry_y is None:

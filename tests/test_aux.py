@@ -76,8 +76,8 @@ def test_debug_image_dumps(tmp_path):
     from cardio_dmz_tpu.models.weights import load_params
     from cardio_dmz_tpu.utils.debug_images import dump_expiry_stages
     y = synthetic.render_frame_with_expiry(
-        "4111111111111111", "08/27", y0=150, offset=35, expiry_y=210,
-        expiry_x=120, noise=1, seed=0, expiry_size=20, expiry_spacing=12)
+        "4111111111111111", "08/28", y0=150, offset=35, expiry_y=212,
+        expiry_x=120, noise=1, seed=0)
     paths = dump_expiry_stages(y, 150, load_params("slash_mlp"),
                                str(tmp_path))
     assert len(paths) == 4

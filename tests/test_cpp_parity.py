@@ -163,7 +163,7 @@ def _frames(n=6, with_expiry=False, seed0=0):
     for i in range(n):
         pan = synthetic.safe_pan(rng, length=16, prefix=(4,))
         if with_expiry:
-            y = synthetic.render_frame_with_expiry(pan, "08/29", seed=i)
+            y = synthetic.render_frame_with_expiry(pan, "08/28", seed=i)
         else:
             y = synthetic.render_frame(pan, y0=150 + (i % 3) * 8, seed=i)
         out.append((pan, np.asarray(y, dtype=np.uint8)))
@@ -274,5 +274,61 @@ def test_session_parity_final_pan():
             assert our_result.complete
             assert "".join(str(d) for d in np.asarray(our_result.predictions)[
                 : int(our_result.n_numbers)]) == pan
+        finally:
+            _oracle().scanner_destroy(handle)
+
+
+# ------------------------------------------------------------------ expiry
+
+
+def test_expiry_seg_parity_host_vs_reference():
+    """Host expiry segmentation == compiled reference, group for group
+    (tops, lefts, pattern), on synthetic expiry frames."""
+    from cardio_dmz_tpu.scan import expiry_seg_host as H
+
+    params = _params()
+    frames_with_groups = 0
+    for i in range(6):
+        y = np.asarray(synthetic.render_frame_with_expiry(
+            "4111111111111111", "08/28", seed=i), dtype=np.uint8)
+        ref_groups, ref_names = _oracle().expiry_seg(y, 150)
+        our_groups, our_names = H.best_expiry_seg(y, 150, params["slash_mlp"])
+        assert ref_names == [] and our_names == []
+        assert len(ref_groups) == len(our_groups), f"frame {i}"
+        frames_with_groups += bool(ref_groups)
+        for rg, og in zip(ref_groups, our_groups):
+            assert (rg.top, rg.left) == (og.top, og.left)
+            assert rg.char_tops == [r.top for r in og.character_rects]
+            assert rg.char_lefts == [r.left for r in og.character_rects]
+    assert frames_with_groups >= 2
+
+
+def test_expiry_session_date_parity():
+    """Full-session expiry reads AGREE with the compiled reference (both the
+    accepted dates and the frames where nothing is accepted), and on pinned
+    known-good renders both read the true date."""
+    from cardio_dmz_tpu.session.host import HostScanner
+
+    params = _params()
+    for text in ("08/28", "12/28", "03/27"):
+        want = (int(text[:2]), 2000 + int(text[3:]))
+        pan = "4111111111111111"
+        ours = HostScanner(params, scan_expiry=True, now=(2026, 8))
+        handle = _oracle().scanner_create()
+        try:
+            ref_date = our_date = None
+            for i in range(12):
+                y = np.asarray(synthetic.render_frame_with_expiry(
+                    pan, text, seed=i), dtype=np.uint8)
+                ours.add_frame(y)
+                _oracle().scanner_add_frame(handle, y, scan_expiry=True)
+                r = _oracle().scanner_result(handle)
+                if ref_date is None and r and r[1] and r[2]:
+                    ref_date = (r[1], r[2])
+                res = ours.result()
+                if our_date is None and res.complete and res.expiry_month:
+                    our_date = (res.expiry_month, res.expiry_year)
+            assert ref_date == want, f"reference failed {text}: {ref_date}"
+            assert our_date == want, f"ours failed {text}: {our_date}"
         finally:
             _oracle().scanner_destroy(handle)

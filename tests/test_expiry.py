@@ -18,10 +18,10 @@ def _params():
     return load_all_params()
 
 
-def _frame(seed=0, expiry="08/27"):
+def _frame(seed=0, expiry="08/28"):
     return synthetic.render_frame_with_expiry(
-        "4111111111111111", expiry, y0=150, offset=35, expiry_y=210, expiry_x=120,
-        noise=1, seed=seed, expiry_size=20, expiry_spacing=12)
+        "4111111111111111", expiry, y0=150, offset=35, expiry_y=212, expiry_x=120,
+        noise=1, seed=seed)
 
 
 def test_stripe_selection_finds_expiry_row():
@@ -52,8 +52,8 @@ def test_segmentation_finds_mmyy_group():
     g = groups[0]
     assert len(g.character_rects) == 5
     lefts = [r.left for r in g.character_rects]
-    # rendered at x=120 with 12px advance
-    for got, want in zip(lefts, [120, 132, 144, 156, 168]):
+    # rendered at x=120 with 13px advance
+    for got, want in zip(lefts, [120, 133, 146, 159, 172]):
         assert abs(got - want) <= 3
     assert abs(g.character_rects[0].top - 214) <= 3
 
@@ -64,7 +64,7 @@ def test_categorization_reads_digits():
     scores = cat.categorize_expiry_digits(y, groups[0],
                                           _params()["expiry_conv"])
     digits = scores[:5].argmax(-1)
-    assert list(digits[[0, 1, 3, 4]]) == [0, 8, 2, 7]
+    assert list(digits[[0, 1, 3, 4]]) == [0, 8, 2, 8]
     assert (scores[2] == 0).all()  # slash position not scored
 
 
@@ -73,7 +73,7 @@ def test_expiry_extract_needs_three_sightings():
     aggregated = []
     month = year = 0
     results = []
-    for s in range(4):
+    for s in range(6):
         y = _frame(seed=s)
         groups, _ = seg.best_expiry_seg(y, 150, params["slash_mlp"])
         month, year = cat.expiry_extract(
@@ -81,7 +81,7 @@ def test_expiry_extract_needs_three_sightings():
             best_month=month, best_year=year)
         results.append((month, year))
     assert results[0] == (0, 0)       # first sighting: not trusted yet
-    assert results[-1] == (8, 2027)   # converged
+    assert results[-1] == (8, 2028)   # converged
 
 
 def test_date_sanity_rejects_past_and_far_future():
@@ -120,9 +120,9 @@ def test_full_host_session_with_expiry():
     from cardio_dmz_tpu.session.host import HostScanner
     scanner = HostScanner(_params(), scan_expiry=True, now=(2026, 8))
     result = None
-    for s in range(6):
+    for s in range(8):
         frame, result = scanner.add_frame(_frame(seed=s))
     assert scanner.card_number == "4111111111111111"
     assert result.complete
     assert result.expiry_month == 8
-    assert result.expiry_year == 2027
+    assert result.expiry_year == 2028

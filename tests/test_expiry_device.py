@@ -32,10 +32,10 @@ def _seg_fn():
         params["slash_mlp"], img, yv, jnp.asarray(True)))
 
 
-def _frame(seed=0, expiry="08/27"):
+def _frame(seed=0, expiry="08/28"):
     return synthetic.render_frame_with_expiry(
-        "4111111111111111", expiry, y0=150, offset=35, expiry_y=210,
-        expiry_x=120, noise=1, seed=seed, expiry_size=20, expiry_spacing=12)
+        "4111111111111111", expiry, y0=150, offset=35, expiry_y=212,
+        expiry_x=120, noise=1, seed=seed)
 
 
 def test_device_seg_matches_host():
@@ -91,20 +91,20 @@ def test_device_aggregation_and_extract():
     month = jnp.asarray(0)
     year = jnp.asarray(0)
     history = []
-    for s in range(4):
+    for s in range(8):
         y = _frame(seed=s)
         w = seg(y, jnp.asarray(150))
         st = agg(st, w, cat(y, w))
         month, year = ext(st, month, year)
         history.append((int(month), int(year)))
     assert history[0] == (0, 0)      # needs >= 3 sightings
-    assert history[-1] == (8, 2027)
+    assert history[-1] == (8, 2028)
 
 
 def test_full_session_in_graph_with_expiry():
     """The north-star shape: PAN + expiry in ONE jitted lax.scan graph."""
     params = _params()
-    frames = np.stack([_frame(seed=s) for s in range(6)])
+    frames = np.stack([_frame(seed=s) for s in range(8)])
 
     from cardio_dmz_tpu.session import scanner_reset, scanner_step
 
@@ -119,7 +119,7 @@ def test_full_session_in_graph_with_expiry():
     assert "".join(map(str, np.asarray(state.completed_digits)[:16])) == \
         "4111111111111111"
     assert int(state.expiry_month) == 8
-    assert int(state.expiry_year) == 2027
+    assert int(state.expiry_year) == 2028
     assert bool(np.asarray(res.complete)[-1])
     assert int(np.asarray(res.expiry_month)[-1]) == 8
 

@@ -1,0 +1,171 @@
+"""Large-sweep A/B parity measurement vs the COMPILED reference C++.
+
+Runs the TPU pipeline and the compiled reference (cardio_dmz_tpu.refbridge)
+over a sweep of synthetic frames and sessions, and prints the
+digit-agreement / stage-agreement numbers recorded in PARITY.md.
+
+Usage: python tools/parity_ab.py [--frames N] [--sessions N] [--json]
+"""
+
+import argparse
+import collections
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--sessions", type=int, default=30)
+    ap.add_argument("--expiry-sessions", type=int, default=12)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    import synthetic
+    from cardio_dmz_tpu import refbridge
+    from cardio_dmz_tpu.models.weights import load_all_params
+    from cardio_dmz_tpu.models import zoo
+    from cardio_dmz_tpu.scan import scan_card_image
+    from cardio_dmz_tpu.session.host import HostScanner
+
+    assert refbridge.available(), "reference checkout/toolchain unavailable"
+    o = refbridge.RefOracle.shared()
+    params = load_all_params()
+    zoo.set_precision("highest")
+    scan = jax.jit(lambda y: scan_card_image(params, y))
+
+    c = collections.Counter()
+    rng = np.random.default_rng(2026)
+
+    # ---------------- per-frame PAN sweep ----------------
+    for i in range(args.frames):
+        length = 16 if i % 4 else 15
+        prefix = (4,) if length == 16 else (3, 4)
+        pan = synthetic.safe_pan(rng, length=length, prefix=prefix)
+        y0 = int(rng.integers(140, 236))
+        width = float(rng.uniform(17.3, 19.0))
+        offset = int(rng.integers(25, 45))
+        noise = int(rng.integers(0, 4))
+        y = np.asarray(synthetic.render_frame(
+            pan, y0=y0, width=width, offset=offset, seed=i, noise=noise),
+            dtype=np.uint8)
+
+        ref = o.scan_card_image(y, scan_expiry=False)
+        ours = scan(y)
+
+        c["frames"] += 1
+        c["usable_agree"] += int(ref.usable == bool(ours.usable))
+        if not (ref.usable and bool(ours.usable)):
+            continue
+        c["usable_frames"] += 1
+        c["vseg_agree"] += int(int(ours.vseg.y_offset) == ref.vseg_y_offset
+                               and int(ours.vseg.pattern_type) == ref.vseg_pattern_type)
+        n = int(ours.hseg.n_offsets)
+        if n != ref.hseg_n_offsets:
+            c["nlen_mismatch"] += 1
+            continue
+        our_offsets = list(map(int, np.asarray(ours.hseg.offsets)[:n]))
+        hseg_same = our_offsets == ref.hseg_offsets
+        c["hseg_agree"] += int(hseg_same)
+        our_digits = list(map(int, np.asarray(ours.scores).argmax(1)[:n]))
+        truth = [int(d) for d in pan]
+        c["digits"] += n
+        c["digit_agree"] += sum(a == b for a, b in zip(our_digits, ref.digits))
+        c["our_correct"] += sum(a == t for a, t in zip(our_digits, truth))
+        c["ref_correct"] += sum(b == t for b, t in zip(ref.digits, truth))
+        if hseg_same:
+            c["digits_same_hseg"] += n
+            c["digit_agree_same_hseg"] += sum(
+                a == b for a, b in zip(our_digits, ref.digits))
+
+    # ---------------- session-level PAN sweep ----------------
+    for s in range(args.sessions):
+        length = 16 if s % 3 else 15
+        prefix = (4,) if length == 16 else (3, 4)
+        pan = synthetic.safe_pan(rng, length=length, prefix=prefix)
+        ours = HostScanner(params, scan_expiry=False)
+        handle = o.scanner_create()
+        ref_pan = our_pan = None
+        for i in range(10):
+            y = np.asarray(synthetic.render_frame(
+                pan, y0=150 + (s % 5) * 4, seed=1000 * s + i, noise=1),
+                dtype=np.uint8)
+            ours.add_frame(y)
+            o.scanner_add_frame(handle, y, scan_expiry=False)
+            if ref_pan is None:
+                r = o.scanner_result(handle)
+                if r:
+                    ref_pan = "".join(map(str, r[0]))
+            if our_pan is None:
+                res = ours.result()
+                if res.complete:
+                    our_pan = "".join(
+                        map(str, np.asarray(res.predictions)[:int(res.n_numbers)]))
+        o.scanner_destroy(handle)
+        c["sessions"] += 1
+        c["session_agree"] += int(ref_pan == our_pan)
+        c["session_ref_correct"] += int(ref_pan == pan)
+        c["session_our_correct"] += int(our_pan == pan)
+
+    # ---------------- session-level expiry sweep ----------------
+    dates = list(synthetic.RELIABLE_EXPIRY_DATES)
+    for s in range(args.expiry_sessions):
+        text = dates[s % len(dates)]
+        want = (int(text[:2]), 2000 + int(text[3:]))
+        ours = HostScanner(params, scan_expiry=True, now=(2026, 8))
+        handle = o.scanner_create()
+        ref_date = our_date = None
+        for i in range(12):
+            y = np.asarray(synthetic.render_frame_with_expiry(
+                "4111111111111111", text, seed=i), dtype=np.uint8)
+            ours.add_frame(y)
+            o.scanner_add_frame(handle, y, scan_expiry=True)
+            r = o.scanner_result(handle)
+            if ref_date is None and r and r[1] and r[2]:
+                ref_date = (r[1], r[2])
+            res = ours.result()
+            if our_date is None and res.complete and res.expiry_month:
+                our_date = (res.expiry_month, res.expiry_year)
+        o.scanner_destroy(handle)
+        c["expiry_sessions"] += 1
+        c["expiry_agree"] += int(ref_date == our_date)
+        c["expiry_ref_correct"] += int(ref_date == want)
+        c["expiry_our_correct"] += int(our_date == want)
+
+    def pct(a, b):
+        return round(100.0 * a / b, 2) if b else None
+
+    report = {
+        "frames": c["frames"],
+        "usable_agreement_pct": pct(c["usable_agree"], c["frames"]),
+        "usable_frames": c["usable_frames"],
+        "vseg_agreement_pct": pct(c["vseg_agree"], c["usable_frames"]),
+        "hseg_exact_agreement_pct": pct(c["hseg_agree"], c["usable_frames"]),
+        "digits_compared": c["digits"],
+        "digit_agreement_pct": pct(c["digit_agree"], c["digits"]),
+        "digit_agreement_given_same_hseg_pct": pct(
+            c["digit_agree_same_hseg"], c["digits_same_hseg"]),
+        "our_digit_accuracy_pct": pct(c["our_correct"], c["digits"]),
+        "ref_digit_accuracy_pct": pct(c["ref_correct"], c["digits"]),
+        "pan_sessions": c["sessions"],
+        "session_pan_agreement_pct": pct(c["session_agree"], c["sessions"]),
+        "session_our_accuracy_pct": pct(c["session_our_correct"], c["sessions"]),
+        "session_ref_accuracy_pct": pct(c["session_ref_correct"], c["sessions"]),
+        "expiry_sessions": c["expiry_sessions"],
+        "expiry_date_agreement_pct": pct(c["expiry_agree"], c["expiry_sessions"]),
+        "expiry_our_accuracy_pct": pct(c["expiry_our_correct"], c["expiry_sessions"]),
+        "expiry_ref_accuracy_pct": pct(c["expiry_ref_correct"], c["expiry_sessions"]),
+    }
+    print(json.dumps(report, indent=None if args.json else 2))
+
+
+if __name__ == "__main__":
+    main()
