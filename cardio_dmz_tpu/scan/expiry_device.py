@@ -89,20 +89,28 @@ def expiry_state_init() -> ExpiryState:
 # stage A: scharr |dx| below the PAN (ROI-clamped like the reference)
 # ---------------------------------------------------------------------------
 
+# Rows above this never contribute: expiry runs only on non-upside-down
+# frames (vseg_y >= 115 is guaranteed by the flip cutoff 121, frame.cpp:22)
+# so y_start = vseg_y + 27 >= 142. Computing the scharr on a static 128-row
+# lower band costs 2.1x less than the full card.
+_SCHARR_BASE = CARD_HEIGHT - 128
+
+
 def scharr_dx_abs_below(y_img, y_start):
     """expiry_seg.cpp:714-739 with the ROI realized as masking + boundary
-    clamp at the dynamic row y_start (= vseg_y + 27)."""
-    xi = y_img.astype(jnp.int32)
+    clamp at the dynamic row y_start (= vseg_y + 27, always >= 142)."""
+    xi = y_img[_SCHARR_BASE:].astype(jnp.int32)
     left = jnp.concatenate([xi[:, :1], xi[:, :-1]], axis=1)
     right = jnp.concatenate([xi[:, 1:], xi[:, -1:]], axis=1)
     d = jnp.abs(right - left)
-    rows = jnp.arange(CARD_HEIGHT)[:, None]
+    rows = _SCHARR_BASE + jnp.arange(CARD_HEIGHT - _SCHARR_BASE)[:, None]
     d = jnp.where(rows >= y_start, d, 0)
     up = jnp.concatenate([d[:1], d[:-1]], axis=0)
     up = jnp.where(rows <= y_start, d, up)  # clamp at the ROI top
     dn = jnp.concatenate([d[1:], d[-1:]], axis=0)
     out = 3 * (up + dn) + 10 * d
-    return jnp.where(rows >= y_start, out, 0)
+    out = jnp.where(rows >= y_start, out, 0)
+    return jnp.pad(out, ((_SCHARR_BASE, 0), (0, 0)))
 
 
 # ---------------------------------------------------------------------------
@@ -118,10 +126,12 @@ def select_stripes(sobel, y_start):
     first_base = y_start + 1
     last_base = CARD_HEIGHT - (SMALL_H + 1)
 
-    # stripe_line[b, k] = ls[b + k] for k < 15 (+1 lookahead for the
-    # interior dim check)
+    # stripe_line[b, k] = ls[b + k] for k < 15: k static shifted copies
+    # (rolls lower to slice+concat) instead of a (270, 15) gather, which
+    # lowers to per-lane loads under the stream vmap
     idx = jnp.arange(CARD_HEIGHT)[:, None] + jnp.arange(SMALL_H)[None, :]
-    line = jnp.where(idx < CARD_HEIGHT, ls[jnp.clip(idx, 0, CARD_HEIGHT - 1)], 0)
+    line = jnp.stack([jnp.roll(ls, -k) for k in range(SMALL_H)], axis=1)
+    line = jnp.where(idx < CARD_HEIGHT, line, 0)
     totals = jnp.sum(line, axis=1)
     thr = jnp.max(line, axis=1) // 2
 
@@ -191,12 +201,12 @@ def _nonoverlap_select(rect_sums, cand):
 
     # Fixed round count instead of run-to-convergence: each round accepts
     # every current local maximum, so R rounds cover greedy chains of
-    # depth R. Card text produces chains of depth 2-4; 16 rounds only
+    # depth R. Card text produces chains of depth 2-4; 8 rounds only
     # truncates pathological noise (conservatively: fewer candidate rects),
-    # and a fixed bound keeps the vmapped program free of global
-    # convergence sync.
+    # and a fixed unrolled bound keeps the vmapped program free of global
+    # convergence sync (a rolled while-loop cost ~1 ms/step @64 streams).
     accepted0 = jnp.zeros((N_RECT_POS,), bool)
-    accepted, _ = lax.fori_loop(0, 16, body, (accepted0, cand))
+    accepted, _ = lax.fori_loop(0, 8, body, (accepted0, cand), unroll=True)
     return accepted
 
 
@@ -230,32 +240,48 @@ def _whitespace_strip(sums, start, count):
     return lax.fori_loop(0, n - 5, body, (start, count), unroll=True)
 
 
+def _onehot_read(vec, idx):
+    """vec[idx] for a small batch of indices as dense where+reduce — an
+    index gather lowers to a while-looped load under the stream vmap."""
+    iota = jnp.arange(vec.shape[0])
+    return jnp.sum(jnp.where(idx[..., None] == iota, vec, 0), axis=-1)
+
+
 def _regrid(col_sums_full, bounds_left, bounds_width, n_min=11, n_max=15):
     """regrid_group grid search + regridded sums (expiry_seg.cpp:174-241).
 
-    col_sums_full: (428,) int64 column sums over the group's rows.
+    col_sums_full: (428,) int column sums over the group's rows.
     Returns (char_lefts (MAX_CHARS,), char_sums, n_chars, spacing).
-    """
-    max_k = CARD_WIDTH // n_min + 1  # 39 gridlines max
 
-    # col_sums relative to bounds_left, invalid -> 0 (dynamic roll lowers
-    # to two slices + concat — far cheaper than a 428-wide batched gather)
+    Gridline sums are computed in ABSOLUTE columns via strided-reshape
+    residue sums — no dynamic roll (a traced-shift jnp.roll lowers to a
+    while-looped gather, ~1 ms/step @64 streams): the gridlines for
+    (spacing s, phase p) are exactly the columns ≡ (bounds_left + p) mod s
+    inside the masked bounds window, and p < s guarantees no gridline
+    precedes bounds_left + p.
+    """
     rel = jnp.arange(CARD_WIDTH)
-    cs = jnp.where(rel < bounds_width,
-                   jnp.roll(col_sums_full, -bounds_left), 0)
-    group_sum = jnp.sum(cs).astype(jnp.float32)
-    csum = jnp.concatenate([jnp.zeros((1,), cs.dtype), jnp.cumsum(cs)])
+    in_bounds = (rel >= bounds_left) & (rel < bounds_left + bounds_width)
+    cs_abs = jnp.where(in_bounds, col_sums_full, 0)
+    group_sum = jnp.sum(cs_abs).astype(jnp.float32)
+    csum_abs = jnp.concatenate([jnp.zeros((1,), cs_abs.dtype),
+                                jnp.cumsum(cs_abs)])     # (429,)
     min_lines = bounds_width // n_min
 
-    spacings = jnp.arange(n_min, n_max + 1)              # (5,)
     phases = jnp.arange(n_max)                           # (15,)
-    ks = jnp.arange(max_k)                               # (39,)
-    # gridline columns: phase + k*spacing  -> (5, 15, 39)
-    cols = phases[None, :, None] + ks[None, None, :] * spacings[:, None, None]
-    in_b = cols < bounds_width
-    vals = jnp.where(in_b, cs[jnp.clip(cols, 0, CARD_WIDTH - 1)], 0)
-    n_lines = jnp.sum(in_b, axis=-1)
-    line_sum = jnp.sum(vals, axis=-1).astype(jnp.float32)
+    spacings = jnp.arange(n_min, n_max + 1)              # (5,)
+    line_sum_rows = []
+    for s_ in range(n_min, n_max + 1):
+        pad = (-CARD_WIDTH) % s_
+        residue_sums = jnp.pad(cs_abs, (0, pad)).reshape(-1, s_).sum(0)
+        res = (bounds_left + phases) % s_
+        line_sum_rows.append(_onehot_read(residue_sums, res))
+    line_sum = jnp.stack(line_sum_rows).astype(jnp.float32)  # (5, 15)
+
+    n_lines = jnp.where(
+        phases[None, :] < bounds_width,
+        (bounds_width - phases[None, :] + spacings[:, None] - 1)
+        // spacings[:, None], 0)
     avg = line_sum / jnp.maximum(n_lines, 1)
     eff = avg * min_lines
     ratio = eff / jnp.maximum(group_sum - eff, 1e-6)
@@ -270,8 +296,8 @@ def _regrid(col_sums_full, bounds_left, bounds_width, n_min=11, n_max=15):
     offs = phase + jnp.arange(MAX_CHARS) * spacing
     char_valid = offs + 1 < bounds_width
     seg_end = jnp.minimum(offs + spacing, bounds_width)
-    char_sums = csum[jnp.clip(seg_end, 0, CARD_WIDTH)] - \
-        csum[jnp.clip(offs + 1, 0, CARD_WIDTH)]
+    char_sums = (_onehot_read(csum_abs, bounds_left + seg_end) -
+                 _onehot_read(csum_abs, bounds_left + offs + 1))
     char_sums = jnp.where(char_valid, char_sums, 0)
     char_lefts = bounds_left + offs + 1
     n_chars = jnp.sum(char_valid.astype(jnp.int32))
@@ -352,26 +378,46 @@ def slash_probs_conv(slash_params, bands, roffs, lefts):
 
     is_slash (expiry_seg.cpp:29-54) evaluates the slash MLP on an 11x16
     sobel crop / 255. The MLP's first layer is linear in the crop, so the
-    hidden pre-activations at EVERY window position are one valid
-    convolution of the stripe band with the 80 first-layer filters
-    reshaped (16, 11) — MXU work — followed by a tiny per-window gather.
-    (Per-window dynamic crops gather ~330 MB/step; this does ~7 GMAC.)
+    per-window hidden pre-activations are computed as two MXU
+    contractions — no gathers, no per-window dynamic slices (both lower to
+    per-lane loads under the stream vmap; measured 2.4 ms -> 0.96 ms @64):
+
+      1. columns: contract the 11 statically-shifted band copies with a
+         per-window one-hot over the left position
+         -> A[w, j, r] = band[r, left_w + j]
+      2. rows + weights: one matmul against the 6 row-offset-shifted
+         copies of the first-layer weights (row offsets are only 0..5),
+         then a tiny take_along_axis picks the window's offset.
 
     bands: (3, 21, 428) int; roffs/lefts: (3, K) window positions relative
-    to the band. Returns (3, K) slash probabilities.
+    to the band (roffs in [0, 6)). Returns (3, K) slash probabilities.
     """
+    n_s, band_h, band_w = bands.shape
+    n_c = band_w - TRIM_W + 1                        # 418 left positions
+    n_r = band_h - TRIM_H + 1                        # 6 row offsets
+    k_win = roffs.shape[-1]
     w1 = (slash_params["hidden_w"].reshape(-1, TRIM_H, TRIM_W) / 255.0)
-    conv = lax.conv_general_dilated(
-        bands.astype(jnp.float32)[:, None],          # (3, 1, 21, 428)
-        w1[:, None],                                  # (80, 1, 16, 11)
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )                                                 # (3, 80, 6, 418)
-    n_r, n_c = conv.shape[2], conv.shape[3]
-    flat = conv.transpose(0, 2, 3, 1).reshape(bands.shape[0], n_r * n_c, -1)
-    idx = (jnp.clip(roffs, 0, n_r - 1) * n_c +
-           jnp.clip(lefts, 0, n_c - 1))               # (3, K)
-    h_pre = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (3, K, 80)
+
+    # stage 1: A[s, w, j, r] = band[s, r, left + j]
+    b16 = bands.astype(jnp.bfloat16)
+    shifted = jnp.stack([b16[:, :, j:j + n_c] for j in range(TRIM_W)],
+                        axis=1)                       # (3, 11, 21, 418)
+    onehot = (jnp.clip(lefts, 0, n_c - 1)[:, :, None] ==
+              jnp.arange(n_c)[None, None, :]).astype(jnp.bfloat16)
+    A = jnp.einsum("sjrc,swc->swjr", shifted, onehot,
+                   preferred_element_type=jnp.bfloat16)  # (3, K, 11, 21)
+
+    # stage 2: TW[ro*80+o, j*21+r] = w1[o, r-ro, j]; one matmul for all 6
+    # row offsets, then select the window's offset.
+    tw = jnp.stack([jnp.pad(w1, ((0, 0), (s, n_r - 1 - s), (0, 0)))
+                    for s in range(n_r)])             # (6, 80, 21, 11)
+    tw = tw.transpose(0, 1, 3, 2).reshape(n_r * w1.shape[0],
+                                          TRIM_W * band_h).astype(jnp.bfloat16)
+    h_all = jnp.einsum("swk,ok->swo", A.reshape(n_s, k_win, -1), tw,
+                       preferred_element_type=jnp.float32)  # (3, K, 480)
+    h_pre = jnp.take_along_axis(
+        h_all.reshape(n_s, k_win, n_r, -1),
+        jnp.clip(roffs, 0, n_r - 1)[..., None, None], axis=2)[:, :, 0]
     h = jnp.tanh(h_pre + slash_params["hidden_b"])
     logits = h @ slash_params["logistic_w"].T + slash_params["logistic_b"]
     return jax.nn.softmax(logits, axis=-1)[..., 0]
@@ -407,25 +453,37 @@ def _process_stripe(sobel, base, stripe_sum, stripe_valid):
         (BAND_H, CARD_WIDTH)).astype(jnp.int32)
     col_sums_grp = jnp.sum(rows_regrid, axis=0)
 
-    # compact accepted lefts in ascending order (sentinel 9999)
-    lefts_all = jnp.where(accepted, jnp.arange(N_RECT_POS), 9999)
-    lefts_sorted = jnp.sort(lefts_all)[:MAX_CHARS * MAX_GROUPS]  # (64,)
-    present = lefts_sorted < 9999
+    # compact accepted lefts in ascending order (sentinel 9999): rank by
+    # prefix count + one-hot contraction — a 420-wide sort costs ~1 ms/step
+    # under the stream vmap, the dense form fuses away
+    rank = jnp.cumsum(accepted.astype(jnp.int32)) - 1       # (420,)
+    slots = jnp.arange(MAX_CHARS * MAX_GROUPS)              # (64,)
+    hit = accepted[None, :] & (rank[None, :] == slots[:, None])  # (64, 420)
+    lefts_sorted = jnp.sum(
+        jnp.where(hit, jnp.arange(N_RECT_POS)[None, :], 0), axis=1)
+    got = jnp.any(hit, axis=1)
+    lefts_sorted = jnp.where(got, lefts_sorted, 9999)
+    present = got
     prev = jnp.concatenate([lefts_sorted[:1], lefts_sorted[:-1]])
     breaks = jnp.concatenate([
         jnp.zeros((1,), bool),
         (lefts_sorted[1:] - prev[1:]) >= 2 * SMALL_W]) & present
     gid = jnp.cumsum(breaks.astype(jnp.int32)) * present - (~present)  # -1 pad
 
-    # group sizes; groups ordered left-to-right by construction
-    sizes = jnp.zeros((MAX_GROUPS * MAX_CHARS,), jnp.int32).at[
-        jnp.clip(gid, 0, MAX_GROUPS * MAX_CHARS - 1)].add(
-        present.astype(jnp.int32), mode="drop")
-    # pick the first MAX_GROUPS group-ids with size >= 4
+    # group sizes via dense one-hot count (scatter-add is TPU poison);
+    # groups ordered left-to-right by construction
+    gids = jnp.arange(MAX_GROUPS * MAX_CHARS)
+    member = present[None, :] & (gid[None, :] == gids[:, None])  # (64, 64)
+    sizes = jnp.sum(member.astype(jnp.int32), axis=1)
+    # pick the first MAX_GROUPS group-ids with size >= 4 (same dense rank
+    # trick as the left compaction above)
     big = sizes >= 4
-    order_idx = jnp.where(big, jnp.arange(sizes.shape[0]), 9999)
-    chosen = jnp.sort(order_idx)[:MAX_GROUPS]            # (4,)
-    group_ok = chosen < 9999
+    brank = jnp.cumsum(big.astype(jnp.int32)) - 1
+    bslot = jnp.arange(MAX_GROUPS)
+    bhit = big[None, :] & (brank[None, :] == bslot[:, None])     # (4, 64)
+    chosen = jnp.sum(jnp.where(bhit, gids[None, :], 0), axis=1)
+    group_ok = jnp.any(bhit, axis=1)
+    chosen = jnp.where(group_ok, chosen, 9999)
 
     def per_group(gsel, ok):
         member = (gid == gsel) & present
@@ -436,10 +494,14 @@ def _process_stripe(sobel, base, stripe_sum, stripe_valid):
         take = jnp.arange(MAX_CHARS) + start_i
         take_ok = jnp.arange(MAX_CHARS) < jnp.minimum(n_m, MAX_CHARS)
         raw_lefts = jnp.where(
-            take_ok, lefts_sorted[jnp.clip(take, 0, lefts_sorted.shape[0] - 1)], 0)
+            take_ok,
+            _onehot_read(lefts_sorted,
+                         jnp.clip(take, 0, lefts_sorted.shape[0] - 1)), 0)
         raw_sums = jnp.where(
             take_ok,
-            rect_sums[jnp.clip(raw_lefts, 0, N_RECT_POS - 1)], 0).astype(jnp.int32)
+            _onehot_read(rect_sums,
+                         jnp.clip(raw_lefts, 0, N_RECT_POS - 1)),
+            0).astype(jnp.int32)
 
         # whitespace strip on the raw run
         s0 = jnp.asarray(0, jnp.int32)
@@ -514,11 +576,13 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
     lefts2 = lefts_f.reshape(S_, G_, MAX_CHARS)
     char_alive = alive0 & valid_f.reshape(S_, G_, MAX_CHARS)
 
-    # compact alive chars left-to-right within each group
-    ord_key = jnp.where(char_alive, jnp.arange(MAX_CHARS)[None, None, :], 9999)
-    ord_idx = jnp.argsort(ord_key, axis=-1)
-    tops_c = jnp.take_along_axis(tops, ord_idx, axis=-1)
-    lefts_c = jnp.take_along_axis(lefts2, ord_idx, axis=-1)
+    # compact alive chars left-to-right within each group — dense rank +
+    # one-hot contraction (an argsort lowers to a while-looped bitonic sort)
+    rank = jnp.cumsum(char_alive.astype(jnp.int32), axis=-1) - 1
+    hit = (char_alive[:, :, None, :] &
+           (rank[:, :, None, :] == jnp.arange(MAX_CHARS)[None, None, :, None]))
+    tops_c = jnp.sum(jnp.where(hit, tops[:, :, None, :], 0), axis=-1)
+    lefts_c = jnp.sum(jnp.where(hit, lefts2[:, :, None, :], 0), axis=-1)
     n_alive = jnp.sum(char_alive.astype(jnp.int32), axis=-1)  # (3, G)
 
     # slash windows: first in [0, n_alive-5]; middle char = first+2
@@ -537,12 +601,15 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
     win_ok = win_ok & (slash_p.reshape(win_ok.shape) > 0.7)
 
     # flatten candidates in (stripe, group, first) order and take the first
-    # MAX_WINDOWS valid ones — matching the reference's append order
+    # MAX_WINDOWS valid ones — matching the reference's append order.
+    # Dense rank compaction instead of a sort (see above).
     S, G, F = win_ok.shape
     flat_ok = win_ok.reshape(-1)
-    order = jnp.where(flat_ok, jnp.arange(S * G * F), 99999)
-    pick = jnp.sort(order)[:MAX_WINDOWS]
-    picked_ok = pick < 99999
+    frank = jnp.cumsum(flat_ok.astype(jnp.int32)) - 1
+    fhit = flat_ok[None, :] & (frank[None, :] ==
+                               jnp.arange(MAX_WINDOWS)[:, None])
+    pick = jnp.sum(jnp.where(fhit, jnp.arange(S * G * F)[None, :], 0), axis=1)
+    picked_ok = jnp.any(fhit, axis=1)
     pick = jnp.clip(pick, 0, S * G * F - 1)
     si = pick // (G * F)
     gi = (pick // F) % G
@@ -569,30 +636,35 @@ def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
     """Per window, classify chars 0,1,3,4 (expiry_categorize.cpp:149-252).
     Returns (MAX_WINDOWS, 5, 10) scores (slash row zero).
 
-    Crops are taken from a per-window 21-row luma band (all of a window's
-    trimmed chars fall within it) — per-char full-image dynamic slices were
-    the stage's dominant cost."""
+    Crops come from per-window 21-row luma bands via the same dense one-hot
+    column contraction + row take as slash_probs_conv — per-char dynamic
+    slices lower to per-lane slice loops under the stream vmap and were the
+    stage's dominant cost. Band values <= 255 are exact in bf16 and exactly
+    one one-hot term is 1, so the extracted crops are bit-exact."""
     digit_idx = jnp.asarray([0, 1, 3, 4])
+    n_c = CARD_WIDTH - TRIM_W + 1
 
-    def per_window(win_top, ctops, clefts):
-        band_top = jnp.clip(win_top - 2, 0, CARD_HEIGHT - EXPANDED_H)
-        band = lax.dynamic_slice(y_img, (band_top, 0),
-                                 (EXPANDED_H, CARD_WIDTH))
+    band_tops = jnp.clip(windows.top - 2, 0, CARD_HEIGHT - EXPANDED_H)
+    bands = jax.vmap(lambda t: lax.dynamic_slice(
+        y_img, (t, 0), (EXPANDED_H, CARD_WIDTH)))(band_tops)  # (W, 21, 428)
 
-        def prep_char(top, left):
-            crop = lax.dynamic_slice(
-                band, (jnp.clip(top - band_top, 0, EXPANDED_H - TRIM_H),
-                       jnp.clip(left, 0, CARD_WIDTH - TRIM_W)),
-                (TRIM_H, TRIM_W))
-            grad = morph_grad3_2d_cross_u8(crop)
-            eq = equalize_hist(grad)
-            sm = bilateral3x3(eq)
-            return sm.astype(jnp.float32) / 255.0
+    shifted = jnp.stack([bands[:, :, j:j + n_c] for j in range(TRIM_W)],
+                        axis=1).astype(jnp.bfloat16)       # (W, 11, 21, 418)
+    ctops = windows.char_tops[:, digit_idx]                 # (W, 4)
+    clefts = windows.char_lefts[:, digit_idx]
+    onehot = (jnp.clip(clefts, 0, n_c - 1)[..., None] ==
+              jnp.arange(n_c)[None, None, :]).astype(jnp.bfloat16)
+    A = jnp.einsum("wjrc,wkc->wkrj", shifted, onehot,
+                   preferred_element_type=jnp.bfloat16)     # (W, 4, 21, 11)
+    roff = jnp.clip(ctops - band_tops[:, None], 0, EXPANDED_H - TRIM_H)
+    ridx = roff[..., None, None] + jnp.arange(TRIM_H)[None, None, :, None]
+    crops = jnp.take_along_axis(A, ridx, axis=2)            # (W, 4, 16, 11)
+    cells_u8 = crops.astype(jnp.uint8)
 
-        return jax.vmap(prep_char)(ctops[digit_idx], clefts[digit_idx])
-
-    cells = jax.vmap(per_window)(windows.top, windows.char_tops,
-                                 windows.char_lefts)       # (W, 4, 16, 11)
+    grad = morph_grad3_2d_cross_u8(cells_u8)
+    eq = equalize_hist(grad)
+    sm = bilateral3x3(eq)
+    cells = (sm.astype(jnp.float32) / 255.0)
     cells = cells.reshape(-1, TRIM_H, TRIM_W)               # (W*4, 16, 11)
     probs = apply_expiry_conv(expiry_params, cells)         # (W*4, 10)
     probs = probs.reshape(MAX_WINDOWS, 4, 10)
@@ -647,9 +719,12 @@ def aggregate_windows(state: ExpiryState, windows: ExpiryWindows,
     slot_win = jnp.argmax(assign, axis=1)                 # (S,)
     slot_has = jnp.any(assign, axis=1)
 
-    picked_scores = new_scores[slot_win]                  # (S, 5, 10)
-    picked_top = new_top[slot_win]
-    picked_left = new_left[slot_win]
+    # one-hot reductions, not indexed gathers (traced-index loads lower to
+    # while loops under the stream vmap); assign is exclusive per slot
+    picked_scores = jnp.sum(
+        jnp.where(assign[:, :, None, None], new_scores[None], 0.0), axis=1)
+    picked_top = jnp.sum(jnp.where(assign, new_top[None, :], 0), axis=1)
+    picked_left = jnp.sum(jnp.where(assign, new_left[None, :], 0), axis=1)
 
     sel = slot_has[:, None, None]
     sc = jnp.where(sel,
@@ -679,11 +754,14 @@ def aggregate_windows(state: ExpiryState, windows: ExpiryWindows,
     pair = (~active)[:, None] & remaining[None, :] & \
         (free_rank[:, None] == new_rank[None, :])             # (S, W)
     take = jnp.any(pair, axis=1)
-    take_win = jnp.argmax(pair, axis=1)
+    taken_scores = jnp.sum(
+        jnp.where(pair[:, :, None, None], new_scores[None], 0.0), axis=1)
+    taken_top = jnp.sum(jnp.where(pair, new_top[None, :], 0), axis=1)
+    taken_left = jnp.sum(jnp.where(pair, new_left[None, :], 0), axis=1)
     sel_t = take[:, None, None]
-    sc = jnp.where(sel_t, new_scores[take_win], sc)
-    top = jnp.where(take, new_top[take_win], top)
-    left = jnp.where(take, new_left[take_win], left)
+    sc = jnp.where(sel_t, taken_scores, sc)
+    top = jnp.where(take, taken_top, top)
+    left = jnp.where(take, taken_left, left)
     recently = jnp.where(take, 3, recently)
     total = jnp.where(take, 1, total)
     active = active | take
@@ -720,9 +798,9 @@ def extract_expiry(state: ExpiryState, best_month, best_year,
         ((full_year > now_year) |
          ((full_year == now_year) & (month >= now_month)))
     key = jnp.where(cand_ok & window_ok, full_year * 16 + month, -1)
-    i = jnp.argmax(key)
+    best_cand = jnp.max(key)   # key is monotone in (year, month); month < 16
     best_key = best_year * 16 + best_month
-    take = key[i] > best_key
-    best_month = jnp.where(take, month[i], best_month)
-    best_year = jnp.where(take, full_year[i], best_year)
+    take = best_cand > best_key
+    best_month = jnp.where(take, best_cand % 16, best_month)
+    best_year = jnp.where(take, best_cand // 16, best_year)
     return best_month, best_year

@@ -13,7 +13,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def bench(fn, *args, iters=20, warmup=3):
+def bench(fn, *args, iters=50, warmup=5):
     import jax
     for _ in range(warmup):
         out = fn(*args)
