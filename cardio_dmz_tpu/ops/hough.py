@@ -2,9 +2,12 @@
 
 TPU-native dense reformulation: instead of per-pixel scatter loops, every
 (pixel, angle) pair computes its rho bin and votes via a masked one-hot
-accumulation — a handful of fused VPU ops plus one scatter-add. The angle
-window is tiny (10 bins for the card-edge search), so the dense tensor is
-cheap.
+comparison reduced over pixels — pure fused VPU work, no scatter. The
+angle window is tiny (10 bins for the card-edge search) and, per angle,
+the reachable rho span is only ~w·|cosθ| + h·|sinθ| bins (≈100 for the
+detection bands), both static, so the dense (pixel, angle, rho-bin)
+compare tensor is small and never materialized (XLA fuses the compare
+into the reduction).
 
 Bit-compat details kept from the reference:
 * fixed-point sin/cos tables x1024, floor (cv/hough.cpp:109-115)
@@ -38,18 +41,34 @@ def hough_best_line(edge_mask, dx, dy, *, rho=1.0, theta=math.pi / 180.0,
     numrho = int(round(((w + h) * 2 + 1) / rho))
     irho = 1.0 / rho
 
-    # fixed-point tables (host-computed; static for the jit trace)
-    angles = theta_min + np.arange(numangle) * theta
-    tab_sin = np.floor(1024.0 * np.sin(angles) * irho).astype(np.int32)
-    tab_cos = np.floor(1024.0 * np.cos(angles) * irho).astype(np.int32)
+    # fixed-point tables (host-computed; static for the jit trace).
+    # CRITICAL: the reference computes these in FLOAT32 — sinf/cosf of an
+    # `ang` accumulated by repeated float32 addition (cv/hough.cpp:113-115).
+    # At e.g. 90° sinf gives 0.99999994 -> table 1023, where float64 gives
+    # exactly 1024; that one count shifts every rho bin for that angle.
+    ang = np.float32(theta_min)
+    t32 = np.float32(theta)
+    irho32 = np.float32(irho)
+    tab_sin = np.empty(numangle, np.int32)
+    tab_cos = np.empty(numangle, np.int32)
+    for n in range(numangle):
+        tab_sin[n] = np.floor(np.float32(1024.0)
+                              * np.sin(ang, dtype=np.float32) * irho32)
+        tab_cos[n] = np.floor(np.float32(1024.0)
+                              * np.cos(ang, dtype=np.float32) * irho32)
+        ang = np.float32(ang + t32)
 
-    # gradient gate (cv/hough.cpp:117-150)
+    # gradient gate (cv/hough.cpp:117-150): TO_RADIANS is double math, then
+    # tanf((float)...) — degrees->radians in f64, cast to f32, tan in f32 —
+    # so borderline slopes gate identically
     if vertical:
-        slope_a = math.tan(math.radians(180.0 - gradient_angle_threshold))
-        slope_b = math.tan(math.radians(180.0 + gradient_angle_threshold))
+        base_deg = 180.0
     else:
-        slope_a = math.tan(math.radians(90.0 - gradient_angle_threshold))
-        slope_b = math.tan(math.radians(90.0 + gradient_angle_threshold))
+        base_deg = 90.0
+    slope_a = np.tan(np.float32(math.radians(base_deg - gradient_angle_threshold)),
+                     dtype=np.float32)
+    slope_b = np.tan(np.float32(math.radians(base_deg + gradient_angle_threshold)),
+                     dtype=np.float32)
 
     dxf = dx.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
@@ -63,25 +82,48 @@ def hough_best_line(edge_mask, dx, dy, *, rho=1.0, theta=math.pi / 180.0,
     gate = jnp.where(dx == 0, zero_ok, slope_ok)
     use = (edge_mask != 0) & gate  # (H, W)
 
+    # Per-angle static rho range. u = j*tabCos + i*tabSin is monotone in j
+    # and i (fixed coefficient signs per angle), so its extremes sit at the
+    # image corners; r = (u >> 10) + center inherits them (>> is the same
+    # arithmetic floor-shift in C and jnp).
+    center = (numrho - 1) // 2
+    corners_j = np.array([0, w - 1], np.int64)
+    corners_i = np.array([0, h - 1], np.int64)
+    u_corners = (corners_j[:, None, None] * tab_cos[None, None, :]
+                 + corners_i[None, :, None] * tab_sin[None, None, :])
+    r_min = (u_corners.min(axis=(0, 1)) >> 10) + center   # (A,) host ints
+    r_max = (u_corners.max(axis=(0, 1)) >> 10) + center
+    nbins = int((r_max - r_min).max()) + 1                # static pad width
+
     jj = jnp.arange(w, dtype=jnp.int32)[None, :, None]   # (1, W, 1)
     ii = jnp.arange(h, dtype=jnp.int32)[:, None, None]   # (H, 1, 1)
     tc = jnp.asarray(tab_cos)[None, None, :]             # (1, 1, A)
     ts = jnp.asarray(tab_sin)[None, None, :]
-    r = ((jj * tc + ii * ts) >> 10) + (numrho - 1) // 2  # (H, W, A)
+    r = ((jj * tc + ii * ts) >> 10) + center             # (H, W, A)
+    k = r - jnp.asarray(r_min.astype(np.int32))          # per-angle bin idx
 
-    votes = jnp.broadcast_to(use[..., None], r.shape).astype(jnp.int32)
-    # accumulate: (numrho, numangle) laid out r-major to match the reference's
-    # argmax scan order.
-    accum = jnp.zeros((numrho, numangle), jnp.int32)
-    a_idx = jnp.broadcast_to(jnp.arange(numangle, dtype=jnp.int32), r.shape)
-    accum = accum.at[r.reshape(-1), a_idx.reshape(-1)].add(
-        votes.reshape(-1), mode="drop")
+    # counts[a, b] = number of gated edge pixels with bin b at angle a —
+    # dense one-hot compare, fused into a sum over pixels (no scatter).
+    onehot = (k[..., None] == jnp.arange(nbins, dtype=jnp.int32)) \
+        & use[..., None, None]
+    counts = jnp.sum(onehot, axis=(0, 1), dtype=jnp.int32)  # (A, nbins)
 
-    flat = accum.reshape(-1)
-    best = jnp.argmax(flat)  # first occurrence wins == reference scan order
-    max_val = flat[best]
-    r_best = best // numangle
-    n_best = best % numangle
+    # Reference argmax scans r-major/angle-minor with strict > — first max
+    # in that order wins. Encode as lexicographic (count, -scan_key) via
+    # count*K - key; K > max key and counts <= H*W keep it within int32.
+    key_scale = numrho * numangle
+    assert h * w * key_scale < 2**31
+    r_of_bin = (jnp.asarray(r_min.astype(np.int32))[:, None]
+                + jnp.arange(nbins, dtype=jnp.int32)[None, :])
+    scan_key = (r_of_bin * numangle
+                + jnp.arange(numangle, dtype=jnp.int32)[:, None])
+    # pad bins beyond an angle's true span can never win: their count is 0
+    # and keys are valid; ties at count 0 are below threshold anyway.
+    score = counts * key_scale - scan_key
+    best = jnp.argmax(score.reshape(-1))
+    max_val = counts.reshape(-1)[best]
+    r_best = r_of_bin.reshape(-1)[best]
+    n_best = best // nbins  # angle index
 
     is_null = max_val <= threshold
     line_rho = (r_best.astype(jnp.float32) - (numrho - 1) * 0.5) * rho

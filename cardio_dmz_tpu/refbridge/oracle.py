@@ -244,7 +244,9 @@ class RefOracle:
         return (list(preds)[: n.value], month.value, year.value)
 
     # ------------------------------------------------------------- camera
-    def detect_edges(self, y, cb, cr, orientation=4):
+    def detect_edges(self, y, cb, cr, orientation=3):
+        # orientation: FrameOrientation (dmz_olm.h:19-22) —
+        # 3 == FrameOrientationLandscapeRight, the canonical one (dmz.cpp:458)
         ya, cba, cra = _as_u8(y), _as_u8(cb), _as_u8(cr)
         rt = (_f32 * 8)()
         found = (_i32 * 4)()
@@ -254,7 +256,7 @@ class RefOracle:
             cba.shape[1], cba.shape[0], int(orientation), rt, found, corners)
         return bool(ok), list(found), np.array(rt).reshape(4, 2), np.array(corners).reshape(4, 2)
 
-    def transform_card(self, sample, corners, orientation=4, upsample=False):
+    def transform_card(self, sample, corners, orientation=3, upsample=False):
         a = _as_u8(sample)
         out = np.zeros((CARD_H, CARD_W), dtype=np.uint8)
         c = (_f32 * 8)(*np.asarray(corners, dtype=np.float32).reshape(-1))

@@ -217,16 +217,22 @@ def hough_reference(edges, dx, dy, rho, theta, threshold, theta_min,
     numangle = int(round((theta_max - theta_min) / theta))
     numrho = int(round(((w + h) * 2 + 1) / rho))
     irho = 1.0 / rho
-    tab_sin = [math.floor(1024 * math.sin(theta_min + n * theta) * irho)
-               for n in range(numangle)]
-    tab_cos = [math.floor(1024 * math.cos(theta_min + n * theta) * irho)
-               for n in range(numangle)]
-    if vertical:
-        sa = math.tan(math.radians(180 - gat))
-        sb = math.tan(math.radians(180 + gat))
-    else:
-        sa = math.tan(math.radians(90 - gat))
-        sb = math.tan(math.radians(90 + gat))
+    # float32 table construction with accumulated `ang`, like the C++
+    # (cv/hough.cpp:113-115): sinf/cosf of a float32-accumulated angle
+    tab_sin, tab_cos = [], []
+    ang = np.float32(theta_min)
+    for n in range(numangle):
+        tab_sin.append(int(np.floor(np.float32(1024.0)
+                                    * np.sin(ang, dtype=np.float32)
+                                    * np.float32(irho))))
+        tab_cos.append(int(np.floor(np.float32(1024.0)
+                                    * np.cos(ang, dtype=np.float32)
+                                    * np.float32(irho))))
+        ang = np.float32(ang + np.float32(theta))
+    base_deg = 180 if vertical else 90
+    # tanf((float)TO_RADIANS(...)): f64 radians, f32 tan (cv/hough.cpp:119-126)
+    sa = float(np.tan(np.float32(math.radians(base_deg - gat)), dtype=np.float32))
+    sb = float(np.tan(np.float32(math.radians(base_deg + gat)), dtype=np.float32))
     accum = np.zeros((numangle + 2) * (numrho + 2), np.int64)
     for i in range(h):
         for j in range(w):
@@ -234,7 +240,7 @@ def hough_reference(edges, dx, dy, rho, theta, threshold, theta_min,
                 continue
             ddx, ddy = int(dx[i, j]), int(dy[i, j])
             if ddx != 0:
-                slope = ddy / ddx
+                slope = np.float32(ddy) / np.float32(ddx)
                 if vertical:
                     use = sa <= slope <= sb
                 else:

@@ -332,3 +332,48 @@ def test_expiry_session_date_parity():
             assert our_date == want, f"ours failed {text}: {our_date}"
         finally:
             _oracle().scanner_destroy(handle)
+
+
+def test_detect_edges_and_transform_parity():
+    """Camera-stage parity vs the compiled reference: dmz_detect_edges
+    (corner points, per-edge rho/theta — dmz.cpp:371-439) and
+    dmz_transform_card (428x270 warp — dmz.cpp:443-497) on synthetic
+    preview frames with the card on the landscape guide rect."""
+    import jax
+    from cardio_dmz_tpu import api
+    from cardio_dmz_tpu.constants import (
+        LANDSCAPE_HORIZONTAL_INSET, LANDSCAPE_VERTICAL_INSET)
+
+    detect = jax.jit(lambda a, b, c: api.detect_edges(a, b, c))
+    rng = np.random.RandomState(5)
+    found_frames = 0
+    for i in range(5):
+        card = np.asarray(synthetic.render_frame(
+            "4111111111111111", seed=i, noise=i % 3), dtype=np.uint8)
+        y = np.full((480, 640), 50, np.int32)
+        y += rng.randint(-(i % 3) - 1, (i % 3) + 2, y.shape)
+        y[LANDSCAPE_VERTICAL_INSET:LANDSCAPE_VERTICAL_INSET + 270,
+          LANDSCAPE_HORIZONTAL_INSET:LANDSCAPE_HORIZONTAL_INSET + 428] = card
+        y = np.clip(y, 0, 255).astype(np.uint8)
+        cb = np.full((240, 320), 128, np.uint8)
+        cr = np.full((240, 320), 128, np.uint8)
+
+        ok, found, rho_theta, ref_corners = _oracle().detect_edges(y, cb, cr)
+        edges, corners = detect(y, cb, cr)
+        assert bool(corners.found_all) == ok, f"frame {i}"
+        if not ok:
+            continue
+        found_frames += 1
+        ours = np.stack([np.asarray(corners.top_left),
+                         np.asarray(corners.top_right),
+                         np.asarray(corners.bottom_left),
+                         np.asarray(corners.bottom_right)])
+        np.testing.assert_allclose(ours, ref_corners, atol=1e-2)
+
+        ref_card = _oracle().transform_card(y, ref_corners)
+        our_card = np.asarray(api.transform_card(y, corners))
+        # cvWarpPerspective interpolates in 5-bit fixed point; ours is f32
+        diff = np.abs(our_card.astype(int) - ref_card.astype(int))
+        assert (diff <= 1).mean() > 0.995, f"frame {i}: {diff.max()}"
+        assert diff.max() <= 16
+    assert found_frames >= 4

@@ -171,11 +171,14 @@ def test_hough_matches_reference(vertical):
     if not null_ref:
         assert float(rho_got) == pytest.approx(rho_ref, abs=1e-3)
         assert float(ang_got) == pytest.approx(ang_ref, abs=1e-5)
-        # sanity: the line is where we drew it
+        # sanity: the line is where we drew it. Loose bound: with noise the
+        # NMS can emit two edge rows and an off-axis angle that aliases both
+        # into one rho bin can out-vote the axis-aligned cell (verified
+        # bit-identical against the compiled reference via refbridge).
         if vertical:
-            assert abs(rho_ref) == pytest.approx(33, abs=2.0)
+            assert abs(rho_ref) == pytest.approx(33, abs=4.0)
         else:
-            assert rho_ref == pytest.approx(21, abs=2.0)
+            assert rho_ref == pytest.approx(21, abs=4.0)
 
 
 def test_warp_identity():
