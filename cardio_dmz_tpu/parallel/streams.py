@@ -9,7 +9,8 @@ carried states out.
 
 import jax
 
-from ..session.state import scanner_reset, scanner_step, scan_frames
+from ..session.state import (
+    camera_scanner_step, scanner_reset, scanner_step, scan_frames)
 from .mesh import replicated, stream_sharding
 
 
@@ -25,6 +26,21 @@ def batched_scanner_step(params, states, frames, scan_expiry=False):
     def step(state, y):
         return scanner_step(params, state, y, scan_expiry)
     return jax.vmap(step)(states, frames)
+
+
+def batched_camera_step(params, states, y, cb, cr, scan_expiry=False,
+                        orientation=None):
+    """One camera->digits step for every stream — detection, rectification,
+    and recognition in ONE graph (the honest end-to-end serving unit).
+
+    y: (S, 480, 640) u8; cb/cr: (S, 240, 320) u8 half-size chroma.
+    Returns (states, (found, frame results, scanner results)).
+    """
+    def step(state, ys, cbs, crs):
+        return camera_scanner_step(params, state, ys, cbs, crs,
+                                   scan_expiry=scan_expiry,
+                                   orientation=orientation)
+    return jax.vmap(step)(states, y, cb, cr)
 
 
 def batched_scan_frames(params, frames, scan_expiry=False):

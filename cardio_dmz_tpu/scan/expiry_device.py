@@ -65,6 +65,17 @@ class ExpiryWindows(typing.NamedTuple):
     char_lefts: jnp.ndarray  # (W, 5) int32
 
 
+def no_windows() -> ExpiryWindows:
+    """An all-invalid window set — the empty GroupedRectsList. Also the
+    permanent value of FrameResult.name_groups (the reference's name
+    supergroup path is disabled, expiry_seg.cpp:544-548)."""
+    zi = jnp.zeros((MAX_WINDOWS,), jnp.int32)
+    return ExpiryWindows(
+        valid=jnp.zeros((MAX_WINDOWS,), bool), top=zi, left=zi,
+        char_tops=jnp.zeros((MAX_WINDOWS, 5), jnp.int32),
+        char_lefts=jnp.zeros((MAX_WINDOWS, 5), jnp.int32))
+
+
 class ExpiryState(typing.NamedTuple):
     """Cross-frame aggregated group table (the GroupedRectsList role)."""
     active: jnp.ndarray      # (S,) bool

@@ -22,11 +22,20 @@ class ScanAnalytics(typing.NamedTuple):
     pattern_type: jnp.ndarray    # (20,) int32
     hseg_score: jnp.ndarray      # (20,) f32
     usable: jnp.ndarray          # (20,) bool
+    # camera telemetry carried on FrameScanResult (frame.h:15-27)
+    focus_score: jnp.ndarray       # (20,) f32
+    brightness_score: jnp.ndarray  # (20,) f32
+    iso_speed: jnp.ndarray         # (20,) int32
+    shutter_speed: jnp.ndarray     # (20,) f32
+    torch_is_on: jnp.ndarray       # (20,) bool
+    upside_down: jnp.ndarray       # (20,) bool
+    flipped: jnp.ndarray           # (20,) bool
 
 
 def analytics_init() -> ScanAnalytics:
     z = jnp.zeros((RING_SIZE,), jnp.float32)
     zi = jnp.zeros((RING_SIZE,), jnp.int32)
+    zb = jnp.zeros((RING_SIZE,), bool)
     return ScanAnalytics(
         n_recorded=jnp.zeros((), jnp.int32),
         write_idx=jnp.zeros((), jnp.int32),
@@ -34,7 +43,14 @@ def analytics_init() -> ScanAnalytics:
         vseg_y=zi,
         pattern_type=zi,
         hseg_score=z,
-        usable=jnp.zeros((RING_SIZE,), bool),
+        usable=zb,
+        focus_score=z,
+        brightness_score=z,
+        iso_speed=zi,
+        shutter_speed=z,
+        torch_is_on=zb,
+        upside_down=zb,
+        flipped=zb,
     )
 
 
@@ -54,4 +70,11 @@ def analytics_record_frame(a: ScanAnalytics, frame, record) -> ScanAnalytics:
         pattern_type=put(a.pattern_type, frame.vseg.pattern_type),
         hseg_score=put(a.hseg_score, frame.hseg.score),
         usable=put(a.usable, frame.usable),
+        focus_score=put(a.focus_score, frame.focus_score),
+        brightness_score=put(a.brightness_score, frame.brightness_score),
+        iso_speed=put(a.iso_speed, frame.iso_speed),
+        shutter_speed=put(a.shutter_speed, frame.shutter_speed),
+        torch_is_on=put(a.torch_is_on, frame.torch_is_on),
+        upside_down=put(a.upside_down, frame.upside_down),
+        flipped=put(a.flipped, frame.flipped),
     )

@@ -28,18 +28,15 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import (
-    CARD_HEIGHT,
     MIN_FRAME_LEAD,
     PAN_DECAY_FACTOR,
     PAN_MIN_STABILITY,
-    SMALL_CHARACTER_HEIGHT,
 )
 from ..utils.olm import card_type_valid_jax, luhn_checksum_jax
-from ..scan.frame import FrameResult, scan_card_image
+from ..scan.frame import FrameResult, FrameTelemetry, scan_card_image
 from ..scan.expiry_device import (
     ExpiryState,
     aggregate_windows,
-    best_expiry_seg_device,
     categorize_windows,
     expiry_state_init,
     extract_expiry,
@@ -144,14 +141,28 @@ def _accumulate(state: ScannerState, frame: FrameResult) -> ScannerState:
 
 
 def scanner_add_frame(params, state: ScannerState, y,
-                      scan_expiry=False) -> tuple:
+                      scan_expiry=False, telemetry=None,
+                      frame_gate=None) -> tuple:
     """scanner_add_frame_with_expiry (scan.cpp:41-86): run the frame
     pipeline and fold the result into the session state.
 
-    y: (270, 428) uint8. Returns (new_state, FrameResult).
+    y: (270, 428) uint8. telemetry: optional FrameTelemetry (camera
+    metadata, frame.h:15-27). frame_gate: optional traced bool — the fused
+    camera path's "card was found" flag; a False gate makes the frame
+    unusable exactly as the reference host app would simply not call
+    scanner_add_frame. Returns (new_state, FrameResult).
     """
     still_need_number = ~state.number_complete
-    frame = scan_card_image(params, y)
+    # scan.cpp:44: expiry seg runs only while the date is still unresolved
+    still_need_expiry = (state.expiry_month == 0) | (state.expiry_year == 0)
+    expiry_gate = still_need_expiry
+    if frame_gate is not None:
+        expiry_gate = expiry_gate & frame_gate
+    frame = scan_card_image(params, y, scan_expiry=scan_expiry,
+                            expiry_gate=expiry_gate,
+                            telemetry=telemetry)
+    if frame_gate is not None:
+        frame = frame._replace(usable=frame.usable & frame_gate)
 
     record = ~frame.upside_down
     state = state._replace(
@@ -162,18 +173,13 @@ def scanner_add_frame(params, state: ScannerState, y,
     state = lax.cond(fold, lambda: folded, lambda: state)
 
     if scan_expiry:
-        # scan.cpp:44,62-66 + frame.cpp:72: expiry path runs for usable,
-        # right-side-up frames whose PAN row leaves >= 2 char heights below
-        still_need_expiry = (state.expiry_month == 0) | (state.expiry_year == 0)
-        room = frame.vseg.y_offset < CARD_HEIGHT - 2 * SMALL_CHARACTER_HEIGHT
-        enabled = (frame.usable & ~frame.upside_down & still_need_expiry &
-                   room)
-        windows = best_expiry_seg_device(
-            params["slash_mlp"], y, frame.vseg.y_offset, enabled)
+        # scan.cpp:62-66: categorize + aggregate the frame's expiry groups
+        windows = frame.expiry_groups
         scores = categorize_windows(params["expiry_conv"], y, windows)
         # the reference's expiry_extract is a no-op when segmentation found
-        # nothing (expiry_categorize.cpp:454-456): gate the aggregation
-        any_new = jnp.any(windows.valid) & enabled
+        # nothing (expiry_categorize.cpp:454-456): gate the aggregation.
+        # windows.valid already embeds the usable/room/still-needed gates.
+        any_new = jnp.any(windows.valid)
         merged = aggregate_windows(state.expiry, windows, scores)
         expiry_state = jax.tree.map(
             lambda a, b: jnp.where(any_new, a, b), merged, state.expiry)
@@ -263,7 +269,7 @@ def scanner_result(state: ScannerState, scan_forever=False) -> tuple:
 
 
 def scanner_step(params, state: ScannerState, y, scan_expiry=False,
-                 config=None):
+                 config=None, telemetry=None, frame_gate=None):
     """One full frame step: add_frame + result. The unit that vmaps over
     streams and folds over time. config (static ScanConfig) overrides the
     scan_expiry flag and supplies scan_forever / pallas gates."""
@@ -271,9 +277,51 @@ def scanner_step(params, state: ScannerState, y, scan_expiry=False,
     if config is not None:
         scan_expiry = config.scan_expiry
         scan_forever = config.scan_forever
-    state, frame = scanner_add_frame(params, state, y, scan_expiry)
+    state, frame = scanner_add_frame(params, state, y, scan_expiry,
+                                     telemetry=telemetry,
+                                     frame_gate=frame_gate)
     state, result = scanner_result(state, scan_forever=scan_forever)
     return state, (frame, result)
+
+
+def camera_scanner_step(params, state: ScannerState, y, cb, cr,
+                        scan_expiry=False, config=None,
+                        orientation=None, iso_speed=None, shutter_speed=None,
+                        torch_is_on=None):
+    """Camera frame -> digits as ONE graph: the per-preview-frame host loop
+    of the reference (dmz_detect_edges + dmz_transform_card, dmz.cpp:371-497,
+    then scanner_add_frame) fused with the scan pipeline — no host
+    round-trips between detection, rectification, and recognition.
+
+    y: (480, 640) u8 luma; cb/cr: (240, 320) u8 half-size chroma.
+    iso/shutter/torch: optional traced camera metadata scalars.
+    Returns (state, (found, FrameResult, ScannerResult)).
+
+    Frames where the card isn't found contribute nothing: the frame gate
+    masks `usable` exactly like the reference host app, which only calls
+    scanner_add_frame after a successful edge detection.
+    """
+    from ..api import brightness_score, focus_score, preprocess_frame
+    from ..constants import ORIENTATION_LANDSCAPE_RIGHT
+
+    if orientation is None:
+        orientation = ORIENTATION_LANDSCAPE_RIGHT
+    found, card = preprocess_frame(y, cb, cr, orientation)
+    telemetry = FrameTelemetry(
+        focus_score=focus_score(y),
+        brightness_score=brightness_score(y),
+        iso_speed=(jnp.zeros((), jnp.int32) if iso_speed is None
+                   else jnp.asarray(iso_speed, jnp.int32)),
+        shutter_speed=(jnp.zeros((), jnp.float32) if shutter_speed is None
+                       else jnp.asarray(shutter_speed, jnp.float32)),
+        torch_is_on=(jnp.zeros((), bool) if torch_is_on is None
+                     else jnp.asarray(torch_is_on, bool)),
+        flipped=jnp.zeros((), bool),
+    )
+    state, (frame, result) = scanner_step(
+        params, state, card, scan_expiry, config, telemetry=telemetry,
+        frame_gate=found)
+    return state, (found, frame, result)
 
 
 def scan_frames(params, frames, scan_expiry=False):
