@@ -1,7 +1,9 @@
 """Python bindings for the native framepump ingest runtime (ctypes).
 
-Builds native/framepump.cpp on first use (g++ -O3 -march=native) and caches
-the .so next to this module. See native/framepump.cpp for the design.
+Builds cardio_dmz_tpu/native/framepump.cpp on first use (g++ -O3
+-march=native) and caches the .so next to this module; the source ships as
+package data so installed distributions build it too. See framepump.cpp
+for the design.
 """
 
 import ctypes
@@ -11,8 +13,8 @@ import threading
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "framepump.cpp")
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native", "framepump.cpp")
 _SO = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "_framepump.so")
 _LOCK = threading.Lock()

@@ -29,6 +29,11 @@ def main():
                     default=True,
                     help="include the in-graph expiry path (default on; "
                          "--no-expiry for the PAN-only pipeline)")
+    ap.add_argument("--camera", action="store_true",
+                    help="bench the full camera path: 480x640 YCbCr frame "
+                         "-> edge detection -> rectification -> digits, "
+                         "one graph (the reference's whole per-frame work, "
+                         "dmz.cpp:371-497 + scan stack)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny sizes for CI smoke")
     args = ap.parse_args()
@@ -38,28 +43,44 @@ def main():
     import jax
     from cardio_dmz_tpu.models.weights import load_all_params
     from cardio_dmz_tpu.parallel.streams import (
-        batched_scanner_step, init_stream_states)
+        batched_camera_step, batched_scanner_step, init_stream_states)
 
     params = load_all_params()
-
-    @jax.jit
-    def step(states, frames):
-        states, (frame_results, results) = batched_scanner_step(
-            params, states, frames, scan_expiry=args.expiry)
-        return states, results.complete
-
     rng = np.random.RandomState(0)
-    frames = rng.randint(0, 256, (args.streams, 270, 428)).astype(np.uint8)
-    frames = jax.device_put(frames)
+
+    if args.camera:
+        @jax.jit
+        def step(states, y, cb, cr):
+            states, (found, frame_results, results) = batched_camera_step(
+                params, states, y, cb, cr, scan_expiry=args.expiry)
+            return states, results.complete
+
+        y = rng.randint(0, 256, (args.streams, 480, 640)).astype(np.uint8)
+        cb = rng.randint(0, 256, (args.streams, 240, 320)).astype(np.uint8)
+        cr = rng.randint(0, 256, (args.streams, 240, 320)).astype(np.uint8)
+        inputs = tuple(map(jax.device_put, (y, cb, cr)))
+        metric = "camera_pipeline_throughput"
+    else:
+        @jax.jit
+        def step(states, frames):
+            states, (frame_results, results) = batched_scanner_step(
+                params, states, frames, scan_expiry=args.expiry)
+            return states, results.complete
+
+        frames = rng.randint(0, 256,
+                             (args.streams, 270, 428)).astype(np.uint8)
+        inputs = (jax.device_put(frames),)
+        metric = "scan_pipeline_throughput"
+
     states = init_stream_states(args.streams)
 
     for _ in range(args.warmup):
-        states, complete = step(states, frames)
+        states, complete = step(states, *inputs)
     jax.block_until_ready(states)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        states, complete = step(states, frames)
+        states, complete = step(states, *inputs)
     jax.block_until_ready(states)
     elapsed = time.perf_counter() - t0
 
@@ -68,10 +89,11 @@ def main():
     step_ms = 1000.0 * elapsed / args.iters
 
     print(f"# device={jax.devices()[0].device_kind} streams={args.streams} "
-          f"iters={args.iters} step={step_ms:.1f}ms expiry={args.expiry}",
+          f"iters={args.iters} step={step_ms:.1f}ms expiry={args.expiry} "
+          f"camera={args.camera}",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "scan_pipeline_throughput",
+        "metric": metric,
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 2),

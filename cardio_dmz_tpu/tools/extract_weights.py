@@ -114,8 +114,8 @@ def main():
     ap.add_argument("--reference", default="/root/reference")
     ap.add_argument(
         "--out",
-        default=os.path.join(os.path.dirname(__file__), "..",
-                             "cardio_dmz_tpu", "models", "params"),
+        default=os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                             "models", "params"),
     )
     args = ap.parse_args()
     ref = args.reference

@@ -10,10 +10,13 @@ Usage: python tools/parity_ab.py [--frames N] [--sessions N] [--json]
 import argparse
 import collections
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, _REPO_ROOT)
+sys.path.insert(0, os.path.join(_REPO_ROOT, "tests"))
 
 import numpy as np
 

@@ -5,10 +5,14 @@ stream batch so optimization work attacks the real bottleneck.
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, _REPO_ROOT)
+sys.path.insert(0, os.path.join(_REPO_ROOT, "tests"))
 
 import numpy as np
 

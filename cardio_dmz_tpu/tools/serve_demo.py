@@ -17,7 +17,8 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
@@ -29,8 +30,7 @@ def main():
     args = ap.parse_args()
 
     import jax
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    sys.path.insert(0, os.path.join(_REPO_ROOT, "tests"))
     import synthetic
     from cardio_dmz_tpu.models.weights import load_all_params
     from cardio_dmz_tpu.parallel.mesh import make_mesh

@@ -1,14 +1,16 @@
 """Retrain the scan models in-framework (the reference's models came from
 offline Theano runs with no training code in-repo — SURVEY.md §2.3).
 
-Demonstrates the full loop on synthetic data: init -> dp(+tp)-sharded
-optax training -> eval -> checkpoint, producing a params file loadable by
-session/checkpoint.load_params_npz. Swap synthetic_digit_batch for a real
-labeled corpus for production.
+All five reference architectures train end-to-end on synthetic data that
+runs through the SAME preprocessing chains as serving (train/data.py):
+init -> dp(+tp)-sharded optax training -> eval -> checkpoint, producing a
+params file loadable by session/checkpoint.load_params_npz. Swap the
+synthetic generators for a real labeled corpus for production.
 
 Usage:
   python tools/train_models.py --model pan_conv --steps 300 \
       --out /tmp/pan_conv_retrained.npz
+  python tools/train_models.py --model all --steps 200
 """
 
 import argparse
@@ -17,12 +19,65 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def _spec(model):
+    """(init_fn, loss_fn, apply_fn, data_fn) per architecture."""
+    import jax
+    from cardio_dmz_tpu.train import (
+        expiry_conv_loss, init_expiry_conv_params, init_mlp_params,
+        init_pan_conv_params, mlp_loss, pan_conv_loss)
+    from cardio_dmz_tpu.train.data import (
+        synthetic_digit_batch, synthetic_expiry_digit_batch,
+        synthetic_slash_batch, synthetic_vseg_batch)
+    from cardio_dmz_tpu.models.zoo import (
+        apply_expiry_conv, apply_mlp, apply_pan_conv)
+
+    key = jax.random.PRNGKey(0)
+    return {
+        # PAN digit conv ensemble member (modelc_* arch)
+        "pan_conv": (lambda: init_pan_conv_params(key), pan_conv_loss,
+                     apply_pan_conv, synthetic_digit_batch),
+        # vseg strip MLP 204->50->3 (modelm_befe75da arch)
+        "vseg_mlp": (lambda: init_mlp_params(key, 204, 50, 3), mlp_loss,
+                     apply_mlp, synthetic_vseg_batch),
+        # slash MLP 176->80->2 (modelm_730c4cbd arch)
+        "slash_mlp": (lambda: init_mlp_params(key, 176, 80, 2), mlp_loss,
+                      apply_mlp, synthetic_slash_batch),
+        # expiry digit conv (modelc_bf4dd6c8 arch)
+        "expiry_conv": (lambda: init_expiry_conv_params(key),
+                        expiry_conv_loss, apply_expiry_conv,
+                        synthetic_expiry_digit_batch),
+    }[model]
+
+
+def train_one(model, steps, batch, lr, mesh, seed=0):
+    from cardio_dmz_tpu.train import fit
+
+    init_fn, loss_fn, apply_fn, data_fn = _spec(model)
+    rng = np.random.RandomState(seed)
+
+    def data():
+        while True:
+            yield data_fn(rng, batch)
+
+    params = init_fn()
+    params, losses = fit(loss_fn, params, data(), steps=steps,
+                         learning_rate=lr, mesh=mesh,
+                         log_every=max(steps // 10, 1))
+
+    # held-out eval with a fresh generator seed
+    inputs, labels = data_fn(np.random.RandomState(seed + 99), 512)
+    pred = np.asarray(apply_fn(params, inputs)).argmax(-1)
+    acc = float((pred == labels).mean())
+    print(f"[{model}] eval accuracy: {acc:.3f} (final loss {losses[-1]:.4f})")
+    return params, acc
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=["pan_conv", "vseg_mlp"],
+    ap.add_argument("--model",
+                    choices=["pan_conv", "vseg_mlp", "slash_mlp",
+                             "expiry_conv", "all"],
                     default="pan_conv")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=64)
@@ -32,53 +87,22 @@ def main():
                     help="shard the train step over all local devices")
     args = ap.parse_args()
 
-    import jax
-    from cardio_dmz_tpu.train import (
-        fit, init_pan_conv_params, init_mlp_params, pan_conv_loss, mlp_loss)
-    from cardio_dmz_tpu.train.data import synthetic_digit_batch
     from cardio_dmz_tpu.session.checkpoint import save_params
-    from cardio_dmz_tpu.models.zoo import apply_pan_conv, apply_mlp
 
-    rng = np.random.RandomState(0)
     mesh = None
     if args.mesh:
         from cardio_dmz_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
 
-    if args.model == "pan_conv":
-        params = init_pan_conv_params(jax.random.PRNGKey(0))
-        loss_fn = pan_conv_loss
+    models = (["pan_conv", "vseg_mlp", "slash_mlp", "expiry_conv"]
+              if args.model == "all" else [args.model])
+    out = {}
+    for m in models:
+        params, acc = train_one(m, args.steps, args.batch, args.lr, mesh)
+        out[m] = {k: np.asarray(v) for k, v in params.items()}
 
-        def data():
-            while True:
-                yield synthetic_digit_batch(rng, args.batch)
-
-        apply_fn = apply_pan_conv
-    else:
-        params = init_mlp_params(jax.random.PRNGKey(0), 204, 50, 3)
-        loss_fn = mlp_loss
-
-        def data():
-            while True:
-                x = rng.rand(args.batch, 204).astype(np.float32)
-                yield x, (x[:, 0] * 3).astype(np.int32) % 3
-
-        apply_fn = apply_mlp
-
-    params, losses = fit(loss_fn, params, data(), steps=args.steps,
-                         learning_rate=args.lr, mesh=mesh,
-                         log_every=max(args.steps // 10, 1))
-
-    # eval
-    if args.model == "pan_conv":
-        cells, labels = synthetic_digit_batch(np.random.RandomState(99), 256)
-        pred = np.asarray(apply_fn(params, cells)).argmax(-1)
-        acc = float((pred == labels).mean())
-        print(f"eval accuracy: {acc:.3f}")
-
-    save_params(args.out, {args.model: {k: np.asarray(v)
-                                        for k, v in params.items()}})
-    print(f"saved: {args.out} (final loss {losses[-1]:.4f})")
+    save_params(args.out, out)
+    print(f"saved: {args.out}")
     return 0
 
 
