@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.zoo import apply_pan_conv, apply_mlp
+from ..models.zoo import apply_expiry_conv, apply_pan_conv, apply_mlp
 from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
@@ -43,6 +43,24 @@ def init_mlp_params(key, n_in, n_hidden, n_out):
     }
 
 
+def init_expiry_conv_params(key):
+    """Fresh expiry digit conv params — the modelc_bf4dd6c8 architecture
+    (16x11 mean-sub -> 50@5x5 + 2x2 pool -> 40@5x5 + 2x3 pool -> 176 ReLU
+    -> 10 softmax, expiry_categorization.md:82-88)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    glorot = jax.nn.initializers.glorot_uniform()
+    return {
+        "conv1_w": glorot(k1, (50, 5, 5), jnp.float32) * 2.0,
+        "conv1_b": jnp.zeros((50,), jnp.float32),
+        "conv2_w": glorot(k2, (40, 50, 5, 5), jnp.float32),
+        "conv2_b": jnp.zeros((40,), jnp.float32),
+        "hidden_w": glorot(k3, (176, 120), jnp.float32),
+        "hidden_b": jnp.zeros((176,), jnp.float32),
+        "logistic_w": glorot(k4, (10, 176), jnp.float32),
+        "logistic_b": jnp.zeros((10,), jnp.float32),
+    }
+
+
 def _xent(probs, labels):
     logp = jnp.log(jnp.clip(probs, 1e-12, 1.0))
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
@@ -55,6 +73,11 @@ def pan_conv_loss(params, cells, labels):
 
 def mlp_loss(params, x, labels):
     return _xent(apply_mlp(params, x), labels)
+
+
+def expiry_conv_loss(params, cells, labels):
+    """cells: (B, 16, 11) f32 (prep chain applied); labels: (B,) int32."""
+    return _xent(apply_expiry_conv(params, cells), labels)
 
 
 def param_shardings(params, mesh):

@@ -116,3 +116,16 @@ def test_real_digit_training_improves_accuracy():
     cells, labels = synthetic_digit_batch(np.random.RandomState(99), 128)
     pred = np.asarray(apply_pan_conv(params, cells)).argmax(-1)
     assert (pred == labels).mean() > 0.8  # chance is 0.1
+
+
+def test_all_five_architectures_train():
+    """Every reference model architecture trains in-framework on synthetic
+    data routed through the serving prep chains and clears an accuracy
+    floor (SURVEY.md §2.3; expiry_categorization.md:55-95 role)."""
+    from cardio_dmz_tpu.tools.train_models import train_one
+
+    floors = {"vseg_mlp": 0.9, "slash_mlp": 0.95, "expiry_conv": 0.9}
+    for model, floor in floors.items():
+        _, acc = train_one(model, steps=120, batch=64, lr=3e-3, mesh=None)
+        assert acc > floor, f"{model}: {acc}"
+    # pan_conv covered by test_real_digit_training_improves_accuracy
