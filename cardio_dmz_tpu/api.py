@@ -234,29 +234,77 @@ def detect_edges(y_sample, cb_sample, cr_sample,
 # transform
 # ---------------------------------------------------------------------------
 
+_CORNER_ORDER = {
+    ORIENTATION_PORTRAIT: ("bl", "tl", "br", "tr"),
+    ORIENTATION_LANDSCAPE_LEFT: ("br", "bl", "tr", "tl"),
+    ORIENTATION_LANDSCAPE_RIGHT: ("tl", "tr", "bl", "br"),
+    ORIENTATION_PORTRAIT_UPSIDE_DOWN: ("tr", "br", "tl", "bl"),
+}
+
+# extra slop beyond the detection bands for corner-coordinate bounds: lines
+# are constrained to the bands at ±5°, so their intersections can stray only
+# slightly past the band rects
+_CORNER_BOUND_PAD = 32
+
+
+def warp_src_bounds(shape, orientation, upsample=False):
+    """STATIC quad-corner coordinate bounds for the dense warp's windowed
+    passes, derived from the detection-band geometry: each corner is the
+    intersection of two ±5° lines confined to their bands, so its (x, y)
+    lies within the bands' rects (± a small extrapolation pad). Returns
+    (y_top, y_bottom, x_left, x_right) ranges in the REORDERED quad frame
+    that transform_card hands to the warp."""
+    boxes = detection_boxes(shape, orientation)
+    pad = _CORNER_BOUND_PAD
+
+    def xr(edge):
+        x, _, w, _ = boxes[edge]
+        return (x - pad, x + w + pad)
+
+    def yr(edge):
+        _, y, _, h = boxes[edge]
+        return (y - pad, y + h + pad)
+
+    ranges = {
+        "tl": (xr("left"), yr("top")),
+        "tr": (xr("right"), yr("top")),
+        "bl": (xr("left"), yr("bottom")),
+        "br": (xr("right"), yr("bottom")),
+    }
+    p0, p1, p2, p3 = [ranges[k] for k in _CORNER_ORDER[orientation]]
+
+    def union(a, b):
+        return (min(a[0], b[0]), max(a[1], b[1]))
+
+    y_top = union(p0[1], p1[1])
+    y_bot = union(p2[1], p3[1])
+    x_left = union(p0[0], p2[0])
+    x_right = union(p1[0], p3[0])
+    if upsample:
+        y_top, y_bot, x_left, x_right = [
+            (lo / 2.0, hi / 2.0) for lo, hi in (y_top, y_bot, x_left, x_right)]
+    return (y_top, y_bot, x_left, x_right)
+
+
 def transform_card(sample, corner_points: CornerPoints,
-                   orientation=ORIENTATION_LANDSCAPE_RIGHT, upsample=False):
+                   orientation=ORIENTATION_LANDSCAPE_RIGHT, upsample=False,
+                   src_bounds=None):
     """dmz_transform_card (dmz.cpp:443-497): orientation-dependent corner
     ordering, then perspective warp to 428x270.
 
     sample: (H, W) u8 plane. upsample=True for half-size CbCr planes
     (corner coords are halved — dmz.cpp:473-481; there is no GL
-    "auto-upsample" path on TPU)."""
+    "auto-upsample" path on TPU). src_bounds: optional static corner
+    bounds (warp_src_bounds) enabling the warp's windowed fast path."""
     cp = corner_points
-    order = {
-        ORIENTATION_PORTRAIT: (cp.bottom_left, cp.top_left,
-                               cp.bottom_right, cp.top_right),
-        ORIENTATION_LANDSCAPE_LEFT: (cp.bottom_right, cp.bottom_left,
-                                     cp.top_right, cp.top_left),
-        ORIENTATION_LANDSCAPE_RIGHT: (cp.top_left, cp.top_right,
-                                      cp.bottom_left, cp.bottom_right),
-        ORIENTATION_PORTRAIT_UPSIDE_DOWN: (cp.top_right, cp.bottom_right,
-                                           cp.top_left, cp.bottom_left),
-    }[orientation]
+    by_name = {"tl": cp.top_left, "tr": cp.top_right,
+               "bl": cp.bottom_left, "br": cp.bottom_right}
+    order = [by_name[k] for k in _CORNER_ORDER[orientation]]
     src = jnp.stack(order)  # (4, 2) in (x, y); tl,tr,bl,br of the card
     if upsample:
         src = src / 2.0
-    return unwarp_card(sample, src, out_shape=(CARD_HEIGHT, CARD_WIDTH))
+    return unwarp_card(sample, src, out_shape=(CARD_HEIGHT, CARD_WIDTH),
+                       src_bounds=src_bounds)
 
 
 def preprocess_frame(y_sample, cb_sample, cr_sample,
@@ -270,7 +318,8 @@ def preprocess_frame(y_sample, cb_sample, cr_sample,
     found). jit/vmap-safe: wrap with jax.jit, vmap over a frame batch.
     """
     _, corners = detect_edges(y_sample, cb_sample, cr_sample, orientation)
-    card = transform_card(y_sample, corners, orientation)
+    bounds = warp_src_bounds(y_sample.shape, orientation)
+    card = transform_card(y_sample, corners, orientation, src_bounds=bounds)
     card = jnp.where(corners.found_all, card, jnp.zeros_like(card))
     return corners.found_all, card
 

@@ -3,11 +3,15 @@
 The reference solves an 8x8 system for the homography via Eigen householderQr
 (llcv_calc_persp_transform, cv/warp.cpp:34-125) and warps with
 cvWarpPerspective bilinear + fill outliers (:158-166), or a GL shader on
-device GPUs. On TPU the warp is just a bilinear gather — one fused op, no GL
-analogue needed (SURVEY.md §2.5 mz note).
+device GPUs. The TPU serving path uses a closed-form homography and a
+gather-free two-pass dense resample (warp_perspective_dense); the
+per-pixel-gather variant is kept as the cvWarpPerspective-closest oracle.
 """
 
+import math
+
 import jax.numpy as jnp
+from jax import lax
 
 from ..constants import CARD_WIDTH, CARD_HEIGHT
 
@@ -120,7 +124,32 @@ def rect_to_quad_map(source_points, out_shape):
     return m_uv @ scale
 
 
-def warp_perspective_dense(image, m_dst_to_src, out_shape):
+def _block_starts(lo0, hi0, lo1, hi1, out_n, in_n, block, win, pad):
+    """Static per-block source-window starts: dst index t interpolates the
+    corner ranges [lo0,hi0] -> [lo1,hi1]; the needed source span for a dst
+    block is the range union over its indices ± pad. Returns (starts, ok)
+    where ok=False means `win` cannot cover the span."""
+    starts = []
+    n_blocks = -(-out_n // block)
+    denom = max(out_n - 1, 1)
+    for b in range(n_blocks):
+        t0, t1 = b * block, min(out_n - 1, b * block + block - 1)
+        cands = []
+        for t in (t0, t1):
+            f = t / denom
+            cands.append(lo0 + f * (lo1 - lo0))
+            cands.append(hi0 + f * (hi1 - hi0))
+        smin = math.floor(min(cands)) - pad - 1
+        smax = math.ceil(max(cands)) + pad + 2
+        if smax - smin > win:
+            return None, False
+        starts.append(max(0, min(int(smin), in_n - win)))
+    return starts, True
+
+
+def warp_perspective_dense(image, m_dst_to_src, out_shape, src_bounds=None,
+                           row_block=16, row_win=192, col_block=64,
+                           col_win=256, tilt=0.095):
     """Gather-free perspective warp: classic two-pass (Catmull-Smith)
     resampling where each pass is a dense hat-weight contraction.
 
@@ -142,6 +171,15 @@ def warp_perspective_dense(image, m_dst_to_src, out_shape):
 
     image: (H, W) u8/float. m_dst_to_src: (3, 3) mapping (c, r, 1) ->
     homogeneous src coords (rect_to_quad_map output).
+
+    src_bounds: optional STATIC quad-corner bounds
+    ((ytl_lo, ytl_hi), (ybl_lo, ybl_hi), (xtl_lo, xtl_hi), (xtr_lo, xtr_hi))
+    from the caller's detection geometry. When given, each pass only
+    contracts over a static source window per output block (the needed
+    source rows/cols per block are bounded by interpolating the corner
+    ranges ± the tilt spread), cutting the hat work ~3x. Samples that
+    fall outside the promised bounds read as zero (fill), which only
+    happens for quads the detector could not have produced.
     """
     out_h, out_w = out_shape
     in_h, in_w = image.shape[-2], image.shape[-1]
@@ -166,13 +204,55 @@ def warp_perspective_dense(image, m_dst_to_src, out_shape):
     y_rj = (m[1, 0] * c_rj + m[1, 1] * rr[:, :1] + m[1, 2]) / den_y  # (R, W)
 
     imgf = image.astype(jnp.float32)
-    ii = jnp.arange(in_h, dtype=jnp.float32)
-    # (R, W, Hi) hat weights fused into the reduction over i
-    w1 = jnp.maximum(0.0, 1.0 - jnp.abs(y_rj[:, :, None] - ii))
-    v = jnp.einsum("rji,ij->rj", w1, imgf)               # (R, W)
 
-    w2 = jnp.maximum(0.0, 1.0 - jnp.abs(x_rc[:, :, None] - jj[0]))
-    out = jnp.einsum("rcj,rj->rc", w2, v)                # (R, C)
+    row_starts = col_starts = None
+    if src_bounds is not None:
+        (ytl, ybl, xtl, xtr) = src_bounds
+        pad_r = int(math.ceil(tilt * in_w / 2))
+        row_starts, ok_r = _block_starts(ytl[0], ytl[1], ybl[0], ybl[1],
+                                         out_h, in_h, row_block, row_win,
+                                         pad_r)
+        pad_c = int(math.ceil(tilt * in_h / 2))
+        col_starts, ok_c = _block_starts(xtl[0], xtl[1], xtr[0], xtr[1],
+                                         out_w, in_w, col_block, col_win,
+                                         pad_c)
+        if not ok_r:
+            row_starts = None
+        if not ok_c:
+            col_starts = None
+
+    # pass 1 (vertical): V[r, j] = sum_i hat(Yv - i) * img[i, j]
+    if row_starts is None:
+        ii = jnp.arange(in_h, dtype=jnp.float32)
+        w1 = jnp.maximum(0.0, 1.0 - jnp.abs(y_rj[:, :, None] - ii))
+        v = jnp.einsum("rji,ij->rj", w1, imgf)           # (R, W)
+    else:
+        parts = []
+        for b, s in enumerate(row_starts):
+            r0 = b * row_block
+            rb = min(row_block, out_h - r0)
+            win = lax.slice(imgf, (s, 0), (s + row_win, in_w))
+            ii = (s + jnp.arange(row_win)).astype(jnp.float32)
+            yb = y_rj[r0:r0 + rb]
+            w1 = jnp.maximum(0.0, 1.0 - jnp.abs(yb[:, :, None] - ii))
+            parts.append(jnp.einsum("rji,ij->rj", w1, win))
+        v = jnp.concatenate(parts, axis=0)               # (R, W)
+
+    # pass 2 (horizontal): out[r, c] = sum_j hat(X - j) * V[r, j]
+    if col_starts is None:
+        w2 = jnp.maximum(0.0, 1.0 - jnp.abs(x_rc[:, :, None] - jj[0]))
+        out = jnp.einsum("rcj,rj->rc", w2, v)            # (R, C)
+    else:
+        parts = []
+        for b, s in enumerate(col_starts):
+            c0 = b * col_block
+            cb = min(col_block, out_w - c0)
+            vw = v[:, s:s + col_win]
+            jw = (s + jnp.arange(col_win)).astype(jnp.float32)
+            xb = x_rc[:, c0:c0 + cb]
+            w2 = jnp.maximum(0.0, 1.0 - jnp.abs(xb[:, :, None] - jw))
+            parts.append(jnp.einsum("rcj,rj->rc", w2, vw))
+        out = jnp.concatenate(parts, axis=1)             # (R, C)
 
     if jnp.issubdtype(image.dtype, jnp.integer):
         out = jnp.round(out).astype(image.dtype)
@@ -180,7 +260,7 @@ def warp_perspective_dense(image, m_dst_to_src, out_shape):
 
 
 def unwarp_card(image, source_points, out_shape=(CARD_HEIGHT, CARD_WIDTH),
-                method="dense"):
+                method="dense", src_bounds=None):
     """llcv_unwarp (cv/warp.cpp:130-169): rectify the quad `source_points`
     (tl, tr, bl, br order per dmz_rect_get_points) to a 428x270 card.
 
@@ -192,7 +272,8 @@ def unwarp_card(image, source_points, out_shape=(CARD_HEIGHT, CARD_WIDTH),
     slower on TPU)."""
     if method == "dense":
         m = rect_to_quad_map(source_points, out_shape)
-        return warp_perspective_dense(image, m, out_shape)
+        return warp_perspective_dense(image, m, out_shape,
+                                      src_bounds=src_bounds)
     out_h, out_w = out_shape
     dest_points = jnp.asarray(
         [[0.0, 0.0], [out_w - 1.0, 0.0], [0.0, out_h - 1.0],

@@ -58,10 +58,13 @@ def render_digit_cell(digit, seed=0, fill=DIGIT_FILL, bg=CARD_BG):
 
 
 def render_frame(pan, y0=160, width=18.0, offset=30, seed=0, bg=CARD_BG,
-                 noise=4):
+                 noise=4, brightness=0, contrast=1.0, shading=0):
     """A full 270x428 rectified card frame with `pan` on the PAN row.
 
     pan: string of 15 (amex spacing) or 16 (visa spacing) digits.
+    brightness/contrast: global photometric perturbation applied last
+    (camera exposure sweep). shading: peak amplitude of a smooth random
+    illumination gradient across the card (textured/unevenly lit card).
     """
     r = np.random.RandomState(seed)
     y = np.full((270, 428), bg, np.int32)
@@ -79,6 +82,13 @@ def render_frame(pan, y0=160, width=18.0, offset=30, seed=0, bg=CARD_BG,
         delta = cell.astype(np.int32) - bg
         y[y0:y0 + 27, x0:x0 + 19] = region + delta
         digit_idx += 1
+    if shading:
+        gy, gx = r.uniform(-1, 1, 2)
+        rows = np.linspace(-0.5, 0.5, 270)[:, None]
+        cols = np.linspace(-0.5, 0.5, 428)[None, :]
+        y += np.round(shading * (gy * rows + gx * cols)).astype(np.int32)
+    if contrast != 1.0 or brightness:
+        y = np.round((y - bg) * contrast + bg + brightness).astype(np.int32)
     return np.clip(y, 0, 255).astype(np.uint8)
 
 

@@ -129,3 +129,55 @@ def test_all_five_architectures_train():
         _, acc = train_one(model, steps=120, batch=64, lr=3e-3, mesh=None)
         assert acc > floor, f"{model}: {acc}"
     # pan_conv covered by test_real_digit_training_improves_accuracy
+
+
+def test_session_migration_across_mesh_shapes(tmp_path):
+    """Checkpoint a stream-batched sharded session mid-scan, restore it onto
+    a DIFFERENT mesh shape (8 -> 4 devices), continue, and get byte-identical
+    accepted reads vs a never-migrated run (the elastic-serving analogue of
+    scan.h:33-48's ScannerState-as-resumable-unit)."""
+    import synthetic
+    from cardio_dmz_tpu.parallel.mesh import make_mesh, shard_streams
+    from cardio_dmz_tpu.parallel.streams import (batched_scanner_step,
+                                                 init_stream_states)
+    from cardio_dmz_tpu.session.checkpoint import (load_session_npz,
+                                                   save_session_npz)
+
+    params = load_all_params()
+    pans = ["4111111111111111", "4539578763621486"]
+    S = 8
+    frames = np.stack([
+        np.stack([synthetic.render_frame(pans[s % 2], seed=3 * s + t,
+                                         noise=1, y0=150, offset=35)
+                  for t in range(6)])
+        for s in range(S)])  # (S, T, 270, 428)
+
+    step = jax.jit(lambda st, fr: batched_scanner_step(params, st, fr))
+
+    def run(states, t0, t1):
+        res = None
+        for t in range(t0, t1):
+            states, (_, res) = step(states, jax.device_put(frames[:, t]))
+        return states, res
+
+    # straight-through run on the 8-device mesh
+    mesh8 = make_mesh(jax.devices()[:8])
+    states = shard_streams(mesh8, init_stream_states(S))
+    _, res_straight = run(states, 0, 6)
+
+    # migrated run: 3 frames on 8 devices, checkpoint, restore on 4
+    states = shard_streams(mesh8, init_stream_states(S))
+    states, _ = run(states, 0, 3)
+    path = str(tmp_path / "mid.npz")
+    save_session_npz(path, jax.device_get(states))
+
+    mesh4 = make_mesh(jax.devices()[:4])
+    restored = load_session_npz(path, like=jax.device_get(states))
+    restored = shard_streams(mesh4, restored)
+    _, res_migrated = run(restored, 3, 6)
+
+    np.testing.assert_array_equal(np.asarray(res_straight.complete),
+                                  np.asarray(res_migrated.complete))
+    np.testing.assert_array_equal(np.asarray(res_straight.predictions),
+                                  np.asarray(res_migrated.predictions))
+    assert np.asarray(res_migrated.complete).any()

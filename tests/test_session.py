@@ -180,3 +180,18 @@ def test_full_alphabet_pan_session():
     assert bool(state.number_complete)
     got = "".join(map(str, np.asarray(state.completed_digits)[:16]))
     assert got == pan
+
+
+def test_accepted_read_correctness_sweep():
+    """Session-level contract over randomized PANs, geometry, and
+    photometrics (brightness/contrast/shading sweeps): every ACCEPTED read
+    must be the true PAN — the Luhn + stability + frame-lead gates
+    (scan.cpp:99-160) must turn hard frames into non-reads, never into
+    wrong reads. Full-scale sweep: tools/accuracy_sweep.py (512+ sessions
+    on TPU); this is the CI-sized gate."""
+    from cardio_dmz_tpu.tools.accuracy_sweep import run_sweep
+
+    report = run_sweep(n_sessions=24, frames_per_session=8, batch=24,
+                       seed=7, quiet=True)
+    assert report["accepted"] >= 5, report
+    assert report["accepted_correct_pct"] == 100.0, report
