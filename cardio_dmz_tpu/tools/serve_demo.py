@@ -69,28 +69,43 @@ def main():
     for t in threads:
         t.start()
 
+    from cardio_dmz_tpu.runtime.metrics import Metrics
+    metrics = Metrics()
+    metrics.set("streams", args.streams)
+
     deadline = time.time() + args.seconds
-    iters = 0
     done = set()
     while time.time() < deadline:
-        batch, ids, fresh = pump.acquire_batch()
-        states, (frames, results) = step(states, place(batch))
-        iters += 1
-        complete = np.asarray(results.complete)
+        with metrics.time("acquire"):
+            batch, ids, fresh = pump.acquire_batch()
+        metrics.inc("frames_fresh", int(np.asarray(fresh).sum()))
+        metrics.inc("frames_stale", args.streams - int(np.asarray(fresh).sum()))
+        with metrics.time("step"):
+            states, (frames, results) = step(states, place(batch))
+            complete = np.asarray(results.complete)
+        metrics.inc("steps")
+        metrics.inc("frames_scanned", args.streams)
+        metrics.inc("frames_usable", int(np.asarray(frames.usable).sum()))
         digits = np.asarray(states.completed_digits)
         n = np.asarray(states.completed_n)
         for s in range(args.streams):
             if complete[s] and s not in done:
                 got = "".join(map(str, digits[s][:n[s]]))
                 ok = "OK " if got == pans[s] else "MISMATCH"
+                metrics.inc("reads_accepted")
+                metrics.inc("reads_correct" if got == pans[s]
+                            else "reads_mismatched")
                 print(f"stream {s}: {ok} {got} (truth {pans[s]})")
                 done.add(s)
+        metrics.set("streams_completed", len(done))
     stop.set()
     for t in threads:
         t.join(timeout=2)
     pump.close()
-    print(f"{iters} serving steps, {len(done)}/{args.streams} streams "
-          f"completed in {args.seconds}s")
+    print(f"{metrics.snapshot().get('steps', 0)} serving steps, "
+          f"{len(done)}/{args.streams} streams completed in {args.seconds}s")
+    print("--- metrics ---")
+    print(metrics.render_text(), end="")
     return 0
 
 

@@ -83,3 +83,26 @@ def test_debug_image_dumps(tmp_path):
     assert len(paths) == 4
     for p in paths:
         assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_serving_metrics_surface():
+    """Loop-level metrics registry: counters, gauges, timers, and the
+    text exposition the serving loop exports (SURVEY.md §5 observability
+    gap — the reference's analytics ring is per-session and unexported)."""
+    import time as _time
+    from cardio_dmz_tpu.runtime.metrics import Metrics
+
+    m = Metrics()
+    m.inc("frames_scanned", 64)
+    m.inc("frames_scanned", 64)
+    m.set("streams", 64)
+    with m.time("step"):
+        _time.sleep(0.01)
+    snap = m.snapshot()
+    assert snap["frames_scanned"] == 128
+    assert snap["streams"] == 64
+    assert snap["step_count"] == 1
+    assert snap["step_seconds_total"] >= 0.01
+    text = m.render_text()
+    assert "cardio_frames_scanned 128" in text
+    assert "cardio_step_seconds_avg" in text
