@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--sessions", type=int, default=30)
     ap.add_argument("--expiry-sessions", type=int, default=12)
+    ap.add_argument("--camera-frames", type=int, default=60)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
@@ -143,6 +144,58 @@ def main():
         c["expiry_ref_correct"] += int(ref_date == want)
         c["expiry_our_correct"] += int(our_date == want)
 
+    # ---------------- camera-path sweep (detect + warp + scan) ----------
+    # cards embedded with randomized slight PERSPECTIVE, so this measures
+    # the dense two-pass warp deviation vs cvWarpPerspective end to end.
+    from cardio_dmz_tpu import api
+    from cardio_dmz_tpu.ops.warp import calc_persp_transform, warp_perspective
+
+    detect = jax.jit(lambda a, b, cc: api.detect_edges(a, b, cc))
+    bounds = api.warp_src_bounds((480, 640), 3)
+    tf = jax.jit(lambda s, cp: api.transform_card(s, cp,
+                                                  src_bounds=bounds))
+    for i in range(args.camera_frames):
+        pan = synthetic.safe_pan(rng)
+        card = np.asarray(synthetic.render_frame(
+            pan, y0=int(rng.integers(145, 230)), width=18.5,
+            offset=int(rng.integers(25, 42)), seed=9000 + i,
+            noise=int(rng.integers(0, 3))), np.uint8)
+        # place the card quad with jittered corners (slight perspective)
+        gx, gy = 106, 105
+        quad = np.float32([[gx, gy], [gx + 428, gy],
+                           [gx, gy + 270], [gx + 428, gy + 270]])
+        quad += rng.uniform(-6, 6, (4, 2)).astype(np.float32)
+        hmat = calc_persp_transform(
+            np.float32([[0, 0], [427, 0], [0, 269], [427, 269]]), quad)
+        warped = np.asarray(warp_perspective(card, hmat, (480, 640)))
+        y = np.where(warped > 0, warped, 50).astype(np.uint8)
+        cb = np.full((240, 320), 128, np.uint8)
+
+        ok_ref, _, _, ref_corners = o.detect_edges(y, cb, cb)
+        edges, corners = detect(y, cb, cb)
+        c["cam_frames"] += 1
+        c["cam_found_agree"] += int(bool(corners.found_all) == ok_ref)
+        if not (ok_ref and bool(corners.found_all)):
+            continue
+        ours_c = np.stack([np.asarray(corners.top_left),
+                           np.asarray(corners.top_right),
+                           np.asarray(corners.bottom_left),
+                           np.asarray(corners.bottom_right)])
+        c["cam_corner_agree"] += int(np.abs(ours_c - ref_corners).max() < 0.5)
+        ref_card = o.transform_card(y, ref_corners)
+        our_card = np.asarray(tf(y, corners))
+        diff = np.abs(our_card.astype(int) - ref_card.astype(int))
+        c["cam_warp_close"] += int((diff <= 2).mean() > 0.99)
+        ref = o.scan_card_image(ref_card, scan_expiry=False)
+        ours = scan(our_card)
+        if ref.usable and bool(ours.usable) and \
+                int(ours.hseg.n_offsets) == ref.hseg_n_offsets:
+            n = ref.hseg_n_offsets
+            our_digits = list(map(int, np.asarray(ours.scores).argmax(1)[:n]))
+            c["cam_digits"] += n
+            c["cam_digit_agree"] += sum(
+                a == b for a, b in zip(our_digits, ref.digits))
+
     def pct(a, b):
         return round(100.0 * a / b, 2) if b else None
 
@@ -166,6 +219,11 @@ def main():
         "expiry_date_agreement_pct": pct(c["expiry_agree"], c["expiry_sessions"]),
         "expiry_our_accuracy_pct": pct(c["expiry_our_correct"], c["expiry_sessions"]),
         "expiry_ref_accuracy_pct": pct(c["expiry_ref_correct"], c["expiry_sessions"]),
+        "camera_frames": c["cam_frames"],
+        "camera_found_agreement_pct": pct(c["cam_found_agree"], c["cam_frames"]),
+        "camera_corner_exact_pct": pct(c["cam_corner_agree"], c["cam_found_agree"]),
+        "camera_warp_close_pct": pct(c["cam_warp_close"], c["cam_found_agree"]),
+        "camera_digit_agreement_pct": pct(c["cam_digit_agree"], c["cam_digits"]),
     }
     print(json.dumps(report, indent=None if args.json else 2))
 
