@@ -22,7 +22,9 @@ BASELINE_FPS = 22.0
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--streams", type=int, default=64)
+    # 256 streams = the north-star serving concurrency (BASELINE.md: 256
+    # concurrent 30 fps streams per chip in one jitted graph)
+    ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--expiry", action=argparse.BooleanOptionalAction,
