@@ -247,13 +247,20 @@ _CORNER_ORDER = {
 _CORNER_BOUND_PAD = 32
 
 
+def _orientation_transposes(orientation):
+    """Portrait quads are ~90°-rotated in the frame; the dense warp
+    transposes the source first (ops/warp.unwarp_card)."""
+    return orientation in (ORIENTATION_PORTRAIT,
+                           ORIENTATION_PORTRAIT_UPSIDE_DOWN)
+
+
 def warp_src_bounds(shape, orientation, upsample=False):
     """STATIC quad-corner coordinate bounds for the dense warp's windowed
     passes, derived from the detection-band geometry: each corner is the
     intersection of two ±5° lines confined to their bands, so its (x, y)
     lies within the bands' rects (± a small extrapolation pad). Returns
-    (y_top, y_bottom, x_left, x_right) ranges in the REORDERED quad frame
-    that transform_card hands to the warp."""
+    (y_top, y_bottom, x_left, x_right) ranges in the frame the warp
+    actually resamples — transposed for portrait orientations."""
     boxes = detection_boxes(shape, orientation)
     pad = _CORNER_BOUND_PAD
 
@@ -272,6 +279,9 @@ def warp_src_bounds(shape, orientation, upsample=False):
         "br": (xr("right"), yr("bottom")),
     }
     p0, p1, p2, p3 = [ranges[k] for k in _CORNER_ORDER[orientation]]
+    if _orientation_transposes(orientation):
+        # swap each corner's (xrange, yrange): the warp sees img.T
+        p0, p1, p2, p3 = [(p[1], p[0]) for p in (p0, p1, p2, p3)]
 
     def union(a, b):
         return (min(a[0], b[0]), max(a[1], b[1]))
@@ -304,7 +314,8 @@ def transform_card(sample, corner_points: CornerPoints,
     if upsample:
         src = src / 2.0
     return unwarp_card(sample, src, out_shape=(CARD_HEIGHT, CARD_WIDTH),
-                       src_bounds=src_bounds)
+                       src_bounds=src_bounds,
+                       transpose=_orientation_transposes(orientation))
 
 
 def preprocess_frame(y_sample, cb_sample, cr_sample,

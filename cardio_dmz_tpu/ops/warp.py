@@ -260,7 +260,7 @@ def warp_perspective_dense(image, m_dst_to_src, out_shape, src_bounds=None,
 
 
 def unwarp_card(image, source_points, out_shape=(CARD_HEIGHT, CARD_WIDTH),
-                method="dense", src_bounds=None):
+                method="dense", src_bounds=None, transpose=False):
     """llcv_unwarp (cv/warp.cpp:130-169): rectify the quad `source_points`
     (tl, tr, bl, br order per dmz_rect_get_points) to a 428x270 card.
 
@@ -269,8 +269,19 @@ def unwarp_card(image, source_points, out_shape=(CARD_HEIGHT, CARD_WIDTH),
     homography — the TPU serving path. method="gather": per-pixel bilinear
     gather through the 8x8-solve homography — bit-closest to
     cvWarpPerspective, kept as the oracle for parity tests (it is ~40x
-    slower on TPU)."""
+    slower on TPU).
+
+    transpose=True: swap the source's axes first. The two-pass dense warp
+    decomposes along the image axes, which DEGENERATES when the quad is
+    rotated ~90° (portrait orientations: the dst-row direction runs along
+    source columns, so the per-pass Mobius solve divides by ~0).
+    Transposing the source makes the quad axis-aligned again and is exact:
+    img(Y, X) == img.T(X, Y). Callers pass src_bounds already in the
+    transposed frame (api.warp_src_bounds handles this)."""
     if method == "dense":
+        if transpose:
+            image = jnp.swapaxes(image, -1, -2)
+            source_points = jnp.asarray(source_points)[:, ::-1]
         m = rect_to_quad_map(source_points, out_shape)
         return warp_perspective_dense(image, m, out_shape,
                                       src_bounds=src_bounds)

@@ -110,9 +110,15 @@ def best_n_hseg(y_strip, pattern_type, number_length) -> HSeg:
     lax.cond branches — the banks share all the work).
     """
     templates, valid, centers = _template_bank()
-    tmpl = jnp.asarray(templates)      # (2, W, 428)
-    ok = jnp.asarray(valid)            # (2, W, 428)
-    cent = jnp.asarray(centers)        # (2, W, 16)
+    # select the traced pattern's bank up front (a cheap where between two
+    # constants) so the L1 sweep below runs once, not per pattern
+    is_amex = (pattern_type == 2)
+    tmpl = jnp.where(is_amex, jnp.asarray(templates[1]),
+                     jnp.asarray(templates[0]))   # (W, 428)
+    ok = jnp.where(is_amex, jnp.asarray(valid[1]),
+                   jnp.asarray(valid[0]))         # (W, 144)
+    cent = jnp.where(is_amex, jnp.asarray(centers[1]),
+                     jnp.asarray(centers[0]))     # (W, 16)
 
     gs = grad_profile(y_strip)         # (428,)
 
@@ -128,24 +134,21 @@ def best_n_hseg(y_strip, pattern_type, number_length) -> HSeg:
     # per width: L1 between every window and the template (masked to the
     # in-image region so the zero-padding beyond the edge contributes 0)
     def score_width(t_w):
-        # t_w: (2, 428) template for one width
-        d = jnp.abs(win[None, :, :] - t_w[:, None, :])     # (2, 144o, 428x)
-        d = jnp.where(in_range[None, :, :], d, 0.0)
-        return jnp.sum(d, axis=-1) + prefix[None, :]       # (2, 144)
+        # t_w: (428,) template for one width
+        d = jnp.abs(win - t_w[None, :])                    # (144o, 428x)
+        d = jnp.where(in_range, d, 0.0)
+        return jnp.sum(d, axis=-1) + prefix                # (144,)
 
-    scores = lax.map(score_width, jnp.moveaxis(tmpl, 1, 0))  # (W, 2, 144)
-    scores = jnp.moveaxis(scores, 1, 0)                      # (2, W, 144)
+    scores = lax.map(score_width, tmpl)                    # (W, 144)
     scores = jnp.where(ok, scores, jnp.inf)
 
-    p_idx = jnp.clip(pattern_type - 1, 0, 1)
-    s = scores[p_idx]                                        # (W, 144)
-    flat = s.reshape(-1)
+    flat = scores.reshape(-1)
     best = jnp.argmin(flat)   # first-min == width-major, offset-minor order
     wi = best // N_OFFSETS
     o = (best % N_OFFSETS).astype(jnp.int32)
     width = HSEG_WIDTH_MIN + wi.astype(jnp.float32) * HSEG_WIDTH_STEP
 
-    offsets = o + cent[p_idx, wi]                            # (16,)
+    offsets = o + cent[wi]                                   # (16,)
     n_offsets = number_length.astype(jnp.int32)
     active = jnp.arange(16) < n_offsets
     offsets = jnp.where(active, offsets, 0).astype(jnp.int32)

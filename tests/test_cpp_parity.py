@@ -377,3 +377,44 @@ def test_detect_edges_and_transform_parity():
         assert (diff <= 1).mean() > 0.995, f"frame {i}: {diff.max()}"
         assert diff.max() <= 16
     assert found_frames >= 4
+
+
+@pytest.mark.parametrize("orientation", [1, 2, 3, 4])
+def test_detect_and_transform_all_orientations(orientation):
+    """Corner detection + warp parity for every FrameOrientation
+    (dmz_olm.h:19-22): the insets and the corner reordering
+    (dmz.cpp:446-471) differ per orientation."""
+    import jax
+    from cardio_dmz_tpu import api
+
+    rng = np.random.RandomState(orientation)
+    boxes = api.detection_boxes((480, 640), orientation)
+    # card edges at the midlines of the detection bands
+    left = boxes["left"][0] + boxes["left"][2] // 2
+    right = boxes["right"][0] + boxes["right"][2] // 2
+    top = boxes["top"][1] + boxes["top"][3] // 2
+    bottom = boxes["bottom"][1] + boxes["bottom"][3] // 2
+    y = np.full((480, 640), 50, np.int32)
+    y += rng.randint(-2, 3, y.shape)
+    y[top:bottom, left:right] = 190
+    y = np.clip(y, 0, 255).astype(np.uint8)
+    cb = np.full((240, 320), 128, np.uint8)
+
+    ok, found, rho_theta, ref_corners = _oracle().detect_edges(
+        y, cb, cb, orientation)
+    edges, corners = jax.jit(
+        lambda a, b, c: api.detect_edges(a, b, c, orientation))(y, cb, cb)
+    assert bool(corners.found_all) == ok, f"orientation {orientation}"
+    if not ok:
+        return
+    ours = np.stack([np.asarray(corners.top_left),
+                     np.asarray(corners.top_right),
+                     np.asarray(corners.bottom_left),
+                     np.asarray(corners.bottom_right)])
+    np.testing.assert_allclose(ours, ref_corners, atol=1e-2)
+
+    ref_card = _oracle().transform_card(y, ref_corners, orientation)
+    our_card = np.asarray(api.transform_card(y, corners, orientation))
+    diff = np.abs(our_card.astype(int) - ref_card.astype(int))
+    assert (diff <= 2).mean() > 0.99, \
+        f"orientation {orientation}: {diff.max()}"
