@@ -4,6 +4,11 @@ Times each stage of preprocess_frame (sobel7, adaptive canny, hough, warp)
 and the downstream card-scan step, batched over streams, to locate where
 the camera-step milliseconds go. Companion to profile_expiry.
 
+CAVEAT (CLAUDE.md): on the axon tunnel, block_until_ready timing of
+independent calls is unreliable for some output shapes — treat these
+numbers as relative hints and confirm absolute costs with a
+state-carrying loop (profile_pan.bench_chain style) or bench.py.
+
 Usage: python -m cardio_dmz_tpu.tools.profile_camera [--streams 64]
 """
 
