@@ -182,21 +182,51 @@ def test_vseg_parity_on_synthetic_frames():
         assert float(v.score) == pytest.approx(ref_score, abs=2e-3)
 
 
+def test_hseg_staged_exact_parity():
+    """The staged hseg search must match the compiled C++ candidate-for-
+    candidate: identical (width, pattern_offset, offsets) on every frame
+    (scan/hseg.py best_n_hseg reproduces n_hseg.cpp:110-147 exactly,
+    including the f32 width accumulation)."""
+    import jax
+    import jax.numpy as jnp
+    from cardio_dmz_tpu.scan.hseg import best_n_hseg
+
+    f = jax.jit(best_n_hseg)
+    rng = np.random.default_rng(11)
+    checked = 0
+    for i in range(10):
+        length = 16 if i % 3 else 15
+        pan = synthetic.safe_pan(rng, length=length,
+                                 prefix=(4,) if length == 16 else (3, 4))
+        y = synthetic.render_frame(pan, y0=int(rng.integers(150, 230)),
+                                   width=float(rng.uniform(17.3, 19.2)),
+                                   offset=int(rng.integers(25, 45)),
+                                   noise=int(rng.integers(0, 4)), seed=i)
+        vy, _, vp, vn = _oracle().vseg(y)
+        if vp == 0:
+            continue
+        hn, hoffs, hw, hpo, _ = _oracle().hseg(y, vy)
+        ours = f(jnp.asarray(y[vy:vy + 27]), jnp.asarray(vp), jnp.asarray(vn))
+        assert int(ours.pattern_offset) == hpo
+        assert float(ours.number_width) == pytest.approx(hw, abs=1e-6)
+        assert list(np.asarray(ours.offsets))[:hn] == hoffs
+        checked += 1
+    assert checked >= 6
+
+
 def test_frame_digit_parity_on_synthetic_frames():
     """Digit-level agreement with the compiled reference.
 
-    The only permitted divergence is the documented hseg deviation (dense
-    global search vs the reference's 4-stage coarse-to-fine, scan/hseg.py):
-    when both land on the same (width, offset) optimum, the digit reads must
-    agree >= 99.5%; frames where hseg differs are counted separately and
-    bounded.  The large-sweep number lives in PARITY.md (tools/parity_ab.py).
+    hseg now reproduces the reference's 4-stage search exactly, so every
+    usable frame must agree on the segmentation AND >= 99.5% of digits.
+    The large-sweep number lives in PARITY.md (tools/parity_ab.py).
     """
     import jax
     from cardio_dmz_tpu.scan import scan_card_image
 
     params = _params()
     scan = jax.jit(lambda y: scan_card_image(params, y))
-    total = agree = hseg_mismatch_frames = usable_frames = 0
+    total = agree = usable_frames = 0
     for pan, y in _frames(8):
         ref = _oracle().scan_card_image(y, scan_expiry=False)
         ours = scan(y)
@@ -207,15 +237,12 @@ def test_frame_digit_parity_on_synthetic_frames():
         n = int(ours.hseg.n_offsets)
         assert n == ref.hseg_n_offsets
         our_offsets = list(np.asarray(ours.hseg.offsets))[:n]
-        if our_offsets != ref.hseg_offsets:
-            hseg_mismatch_frames += 1
-            continue
+        assert our_offsets == ref.hseg_offsets
         our_digits = list(np.asarray(ours.scores).argmax(1)[:n])
         for a, b in zip(our_digits, ref.digits):
             total += 1
             agree += int(a == b)
     assert usable_frames >= 3, "too few usable frames"
-    assert hseg_mismatch_frames <= usable_frames // 2
     if total:
         assert agree / total >= 0.995, f"digit agreement {agree}/{total}"
 
