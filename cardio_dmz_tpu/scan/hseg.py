@@ -184,10 +184,6 @@ def best_n_hseg_dense(y_strip, pattern_type, number_length) -> HSeg:
 # Reference-exact 4-stage coarse-to-fine search (n_hseg.cpp:110-147)
 # ---------------------------------------------------------------------------
 
-_TMPL19 = jnp.asarray(np.array(HSEG_GRAD_SUM_PATTERN, np.float32))
-_MAX_PLEN = 19   # visa-like pattern length incl. gaps; amex-like is 17
-
-
 def _stage1_widths():
     """float32 width grid of stage 1: w = 17.1f; w < 19.7f; w += 0.5f."""
     ws, w = [], np.float32(HSEG_WIDTH_MIN)
@@ -197,37 +193,22 @@ def _stage1_widths():
     return np.array(ws, np.float32)          # 6 widths
 
 
-def _f32_width_grid(center, half, step, slots):
-    """Emulate `for (w = c-half; w < c+half; w += step)` in float32.
+def _np_chain(center, half, step, slots):
+    """Emulate `for (w = c-half; w < c+half; w += step)` in IEEE float32.
 
-    Returns (widths (slots,), valid (slots,)) with the exact IEEE-f32
-    accumulation sequence the C++ produces (the slot count genuinely
-    depends on rounding: e.g. stage 4 runs 5 iterations, not 4).
+    Returns (values (slots,) f32, valid (slots,) bool). The slot count the
+    C++ actually runs genuinely depends on f32 rounding (e.g. stage 4 runs
+    5 iterations, not 4), hence the fixed-slot + validity-mask form.
     """
-    half = jnp.float32(half)
-    step = jnp.float32(step)
-    # the barriers stop XLA's algebraic simplifier from reassociating the
-    # chained constant adds (it folds (c-h)+s into c+(s-h) in higher
-    # precision, which changes which f32 widths the C++ loop visits)
-    w = lax.optimization_barrier((center - half).astype(jnp.float32))
-    limit = (center + half).astype(jnp.float32)
-    ws = []
+    f32 = np.float32
+    w = f32(f32(center) - f32(half))
+    limit = f32(f32(center) + f32(half))
+    vals, valid = [], []
     for _ in range(slots):
-        ws.append(w)
-        w = lax.optimization_barrier((w + step).astype(jnp.float32))
-    widths = jnp.stack(ws)
-    return widths, widths < limit
-
-
-def _pattern_consts(pattern_type):
-    """Traced select of (plen f32, mask (19,) bool) by pattern type."""
-    visa = np.array(PATTERN_MASKS[1], bool)   # 19-long, zero-padded
-    amex = np.array(PATTERN_MASKS[2], bool)
-    is_amex = pattern_type == 2
-    plen = jnp.where(is_amex, jnp.float32(PATTERN_LENGTH_FOR_PATTERN[2]),
-                     jnp.float32(PATTERN_LENGTH_FOR_PATTERN[1]))
-    kmask = jnp.where(is_amex, jnp.asarray(amex), jnp.asarray(visa))
-    return plen, kmask
+        vals.append(w)
+        valid.append(bool(w < limit))
+        w = f32(w + f32(step))
+    return np.array(vals, f32), np.array(valid, bool)
 
 
 # Valid pattern offsets never reach 151 (the widest reachable bound is
@@ -252,116 +233,229 @@ def _window_bank(gs, cums):
     return win_full, cums[:_O_FULL]
 
 
-def _build_base(widths, kmask):
-    """Per-width stamped template (Nw, 428), gather-free.
 
-    base[w] = the 19-sample pattern stamped at c_k = lrintf(k*w) for each
-    masked k, later stamps overwriting earlier ones (n_hseg.cpp:55-67).
-    Only consecutive stamps can overlap (w >= 16 > 19/2), so "overwrite"
-    means: stamp k keeps its samples j < c_{k+1} - c_k when k+1 is masked.
-    Decomposition: base[w, x] = sum_j D[w, j, x - j] with
-    D[w, j, y] = sum_k A[w, k, j] * [y == c_k] — a tiny batched matmul
-    over position indicators plus 19 static shifts (no dynamic indexing).
+# relative offset window around the stage-1 optimum: stage 2 explores
+# bo1 + [-10, 9], stage 3 a further +-3, stage 4 another +-3
+_R_LO, _R_HI = -16, 14
+_N_R = _R_HI - _R_LO
+
+
+@functools.lru_cache(maxsize=None)
+def _cascade_tables():
+    """Static tables driving the whole 4-stage search at runtime.
+
+    Every width any stage can visit is an IEEE-f32 chain from the static
+    stage-1 grid, so the full width universe (254 values), each width's
+    stamped template (deduped by rounded center-vector: 148 per pattern),
+    per-width offset bounds, and the chain tables of stages 2-4 are all
+    precomputed host-side.  The runtime graph contains NO width
+    arithmetic: it scores one constant template bank against one offset
+    window and emulates the stage argmins with one-hot selects.
     """
-    karange = jnp.arange(_MAX_PLEN, dtype=jnp.float32)
-    # stamp centers at offset 0: lrintf(k * w) in f32 (round half to even)
-    c = jnp.round(karange[None, :] * widths[:, None]).astype(jnp.int32)
-    cn = jnp.concatenate(
-        [c[:, 1:], jnp.full((c.shape[0], 1), 10 ** 6, jnp.int32)], axis=1)
-    nmask = jnp.concatenate([kmask[1:], jnp.zeros((1,), bool)])
-    gap = cn - c                                            # (Nw, 19)
-    j = jnp.arange(NUMBER_WIDTH)
-    keep = (kmask[None, :, None]
-            & ~(nmask[None, :, None] & (j[None, None, :] >= gap[:, :, None])))
-    amat = _TMPL19[None, None, :] * keep                    # (Nw, 19k, 19j)
-    emat = (jnp.arange(CARD_WIDTH)[None, None, :]
-            == c[:, :, None]).astype(jnp.float32)           # (Nw, 19k, 428)
-    dmat = jnp.einsum("wkj,wky->wjy", amat, emat)           # (Nw, 19j, 428)
-    base = dmat[:, 0, :]
-    for jj in range(1, NUMBER_WIDTH):
-        base = base + jnp.pad(dmat[:, jj, :CARD_WIDTH - jj],
-                              ((0, 0), (jj, 0)))
-    maxc = jnp.max(jnp.where(kmask[None, :], c, -(10 ** 6)), axis=1)
-    return base, maxc
+    f32 = np.float32
+    tmpl = np.array(HSEG_GRAD_SUM_PATTERN, f32)
+    w1 = _stage1_widths()
+    c2 = [_np_chain(w, 0.5, 0.2, 6) for w in w1]
+    parents3 = sorted({float(v) for v in w1}
+                      | {float(v) for vals, _ in c2 for v in vals})
+    c3 = {u: _np_chain(u, 0.2, 0.1, 5) for u in parents3}
+    parents4 = sorted(set(parents3)
+                      | {float(v) for vals, _ in c3.values() for v in vals})
+    c4 = {u: _np_chain(u, 0.1, 0.05, 6) for u in parents4}
+    allw = sorted(set(parents4)
+                  | {float(v) for vals, _ in c4.values() for v in vals})
+    wval = np.array(allw, f32)
+    nu = len(allw)
+    uidx = {v: i for i, v in enumerate(allw)}
 
+    # pattern-independent chain tables (u-index + static loop-bound validity)
+    u1 = np.array([uidx[float(v)] for v in w1], np.int32)
+    u2 = np.array([[uidx[float(v)] for v in vals] for vals, _ in c2],
+                  np.int32)                                   # (6, 6)
+    v2 = np.array([ok for _, ok in c2], bool)
+    u3 = np.zeros((nu, 5), np.int32)
+    v3 = np.zeros((nu, 5), bool)
+    for u in parents3:
+        vals, ok = c3[u]
+        u3[uidx[u]] = [uidx[float(v)] for v in vals]
+        v3[uidx[u]] = ok
+    u4 = np.zeros((nu, 6), np.int32)
+    v4 = np.zeros((nu, 6), bool)
+    for u in parents4:
+        vals, ok = c4[u]
+        u4[uidx[u]] = [uidx[float(v)] for v in vals]
+        v4[uidx[u]] = ok
 
-def _stage_best(win_full, cums_full, widths, wvalid, omin, omax_slice,
-                ostep, n_off, plen, kmask, best):
-    """One best_n_hseg_constrained call (n_hseg.cpp:39-85) as a dense
-    (widths x offsets) evaluation + strict-< carry against `best`.
+    pats = []
+    for p in (1, 2):
+        plen, mask = PATTERN_LENGTH_FOR_PATTERN[p], PATTERN_MASKS[p]
+        cvmap = {}
+        cvid = np.zeros(nu, np.int32)
+        obound = np.zeros(nu, np.int32)
+        for i, w in enumerate(wval):
+            # stamp centers at offset 0: lrintf(k*w) in f32, half-to-even
+            c = tuple(int(np.rint(f32(k) * w)) for k in range(plen))
+            cvid[i] = cvmap.setdefault(c, len(cvmap))
+            maxc = max(ck for k, ck in enumerate(c) if mask[k])
+            # candidate (w, o) valid iff o < 428 - lrintf(plen*w) (the loop
+            # bound, n_hseg.cpp:49-53) and every stamp is fully inside:
+            # o + maxc + 19 < 428 (the in_bounds check, :60-64)
+            max_off = CARD_WIDTH - int(np.rint(f32(plen) * w))
+            obound[i] = min(max_off, CARD_WIDTH - NUMBER_WIDTH - maxc)
+        bank = np.zeros((len(cvmap), CARD_WIDTH), f32)
+        for c, ci in cvmap.items():
+            for k in range(plen):
+                if mask[k]:
+                    n = min(NUMBER_WIDTH, CARD_WIDTH - c[k])
+                    if n > 0:  # later stamps overwrite (n_hseg.cpp:55-67)
+                        bank[ci, c[k]:c[k] + n] = tmpl[:n]
+        pats.append({"cvid": cvid, "obound": obound, "bank": bank})
 
-    win_full/cums_full: from `_window_bank`. widths: (Nw,) traced f32;
-    omin/omax_slice traced int32 (omax_slice may be None for "no slice
-    bound", stage 1). best: (score, width, offset).
-    """
-    base, maxc = _build_base(widths, kmask)                 # (Nw, 428)
-
-    offsets = omin + ostep * jnp.arange(n_off, dtype=jnp.int32)
-    # one-hot row select from the static Hankel (gather-free)
-    sel = (jnp.arange(_O_FULL)[None, :] == offsets[:, None]).astype(
-        win_full.dtype)                                     # (No, 160)
-    win = sel @ win_full                                    # (No, 428)
-    prefix = sel @ cums_full                                # sum gs[x], x < o
-
-    # for VALID candidates every stamp ends before x' = 428 - o and win is
-    # zero there too, so no in-range masking is needed at score time
-    d = jnp.abs(win[None, :, :] - base[:, None, :])
-    scores = jnp.sum(d, axis=-1) + prefix[None, :]          # (Nw, No)
-
-    # validity: w in slice; o < min(slice max, 428 - lrintf(plen*w));
-    # every masked stamp fully inside: o + max(c) + 19 < 428
-    # (n_hseg.cpp:47-53,60-64)
-    max_off = CARD_WIDTH - jnp.round(plen * widths).astype(jnp.int32)  # (Nw,)
-    o_hi = max_off if omax_slice is None else jnp.minimum(omax_slice, max_off)
-    ok = (wvalid[:, None]
-          & (offsets[None, :] < o_hi[:, None])
-          & (offsets[None, :] + maxc[:, None] + NUMBER_WIDTH < CARD_WIDTH))
-    flat = jnp.where(ok, scores, jnp.inf).reshape(-1)
-
-    # width-major, offset-minor first-min == the C++ scan/tie order
-    i = jnp.argmin(flat)
-    s = flat[i]
-    w = widths[i // n_off]
-    o = offsets[i % n_off]
-    better = s < best[0]                                  # strict, carries
-    return (jnp.where(better, s, best[0]),
-            jnp.where(better, w, best[1]),
-            jnp.where(better, o, best[2]))
+    ncv = max(p["bank"].shape[0] for p in pats)
+    out = {"wval": wval, "u1": u1, "v2": v2, "v3": v3, "v4": v4,
+           "fu2": u2.astype(f32), "fu3": u3.astype(f32),
+           "fu4": u4.astype(f32)}
+    for name, d in zip(("visa", "amex"), pats):
+        bank = d["bank"]
+        if bank.shape[0] < ncv:
+            bank = np.pad(bank, ((0, ncv - bank.shape[0]), (0, 0)))
+        cvid, obound = d["cvid"], d["obound"]
+        sel2 = np.zeros((6, 6, ncv), f32)
+        sel3 = np.zeros((nu, 5, ncv), f32)
+        sel4 = np.zeros((nu, 6, ncv), f32)
+        for pi in range(6):
+            for s in range(6):
+                sel2[pi, s, cvid[u2[pi, s]]] = 1.0
+        for ui in range(nu):
+            for s in range(5):
+                sel3[ui, s, cvid[u3[ui, s]]] = 1.0
+            for s in range(6):
+                sel4[ui, s, cvid[u4[ui, s]]] = 1.0
+        out[name] = {
+            "bank": bank,
+            "base1": bank[cvid[u1]],                  # (6, 428)
+            "ob1": obound[u1].astype(f32),
+            "ob2": obound[u2].astype(f32),            # (6, 6)
+            "ob3": obound[u3].astype(f32),            # (nu, 5)
+            "ob4": obound[u4].astype(f32),            # (nu, 6)
+            "sel2": sel2, "sel3": sel3, "sel4": sel4,
+        }
+    return out
 
 
 def best_n_hseg(y_strip, pattern_type, number_length) -> HSeg:
     """Reference-exact 4-stage search (n_hseg.cpp:88-152), fully jittable.
 
     y_strip: (27, 428) uint8 PAN strip; pattern_type: 1 or 2 (traced).
-    Matches the compiled C++ candidate-for-candidate: same f32 width
-    accumulation, same lrintf centers, same strict-< carry and tie order.
+    Matches the compiled C++ candidate-for-candidate: the same f32 width
+    chains (precomputed host-side), lrintf round-half-even stamp centers,
+    strict-< carry between stages, and width-major/offset-minor tie order.
+    Gather-free: one static-template-bank sweep over a 30-offset window
+    plus one-hot-select argmin emulation (see _cascade_tables).
     """
-    plen, kmask = _pattern_consts(pattern_type)
+    t = _cascade_tables()
+    is_amex = pattern_type == 2
+
+    def pick(key):
+        return jnp.where(is_amex, jnp.asarray(t["amex"][key]),
+                         jnp.asarray(t["visa"][key]))
+
     gs = grad_profile(y_strip)
     cums = jnp.concatenate([jnp.zeros((1,), gs.dtype), jnp.cumsum(gs)])
     win_full, cums_full = _window_bank(gs, cums)
 
-    best = (jnp.float32(428.0), jnp.float32(0.0), jnp.int32(0))
-    w1 = jnp.asarray(_stage1_widths())
-    best = _stage_best(win_full, cums_full, w1, jnp.ones(w1.shape[0], bool),
-                       jnp.int32(0), None, 10, 16, plen, kmask, best)
-    for half, step, slots, d_o, n_off in ((0.5, 0.2, 6, 10, 20),
-                                          (0.2, 0.1, 5, 3, 6),
-                                          (0.1, 0.05, 6, 3, 6)):
-        _, bw, bo = best
-        widths, wvalid = _f32_width_grid(bw, half, step, slots)
-        omin = jnp.maximum(bo - d_o, 0)   # uint16 underflow guard, :125-128
-        best = _stage_best(win_full, cums_full, widths, wvalid, omin,
-                           bo + d_o, 1, n_off, plen, kmask, best)
+    # ---- stage 1: static 6-width x 16-offset grid (offsets 0,10,..,150)
+    base1 = pick("base1")
+    win10 = win_full[0:_O_FULL:10]                     # (16, 428)
+    pref10 = cums_full[0:_O_FULL:10]
+    s1 = jnp.sum(jnp.abs(win10[None, :, :] - base1[:, None, :]), -1)
+    s1 = s1 + pref10[None, :]                          # (6, 16)
+    o1grid = 10 * jnp.arange(16)
+    ok1 = o1grid[None, :] < pick("ob1")[:, None]
+    flat1 = jnp.where(ok1, s1, jnp.inf).reshape(-1)
+    i1 = jnp.argmin(flat1)                # width-major == C++ scan order
+    best_s = flat1[i1]
+    p1 = i1 // 16
+    bo1 = (10 * (i1 % 16)).astype(jnp.int32)
+    # stage 1 always improves on the 428.0 init in practice; `found`
+    # guards the (unreachable) all-invalid case to keep outputs defined
+    found = best_s < jnp.float32(428.0)
+    best_s = jnp.minimum(best_s, jnp.float32(428.0))
+    oh_p1 = (jnp.arange(6) == p1).astype(gs.dtype)
+    u = (oh_p1 * jnp.asarray(t["u1"]).astype(gs.dtype)).sum()
+    rbest = jnp.int32(0)
 
-    score, width, o = best
+    # ---- shared relative sweep: every (center-vector, bo1+r) score the
+    # remaining stages can ever ask for, in one dense pass
+    rr = jnp.arange(_R_LO, _R_HI)                      # (30,)
+    ogrid = bo1 + rr
+    selm = (jnp.arange(_O_FULL)[None, :] == ogrid[:, None]).astype(gs.dtype)
+    win_r = selm @ win_full                            # (30, 428)
+    pref_r = selm @ cums_full
+    bank = pick("bank")                                # (ncv, 428)
+    sr = jnp.sum(jnp.abs(win_r[None, :, :] - bank[:, None, :]), -1)
+    sr = sr + pref_r[None, :]                          # (ncv, 30)
+
+    def stage(n_slots, sel_t, ob_t, v_row, fu_row, r_lo, r_hi, state):
+        """One best_n_hseg_constrained call (n_hseg.cpp:39-85) emulated on
+        the shared score matrix + strict-< carry against the running best."""
+        best_s, u, rbest, found = state
+        blk = sel_t @ sr                               # (slots, 30)
+        ok = (v_row[:, None] > 0.5) & (rr >= r_lo)[None, :] \
+            & (rr < r_hi)[None, :] & (ogrid >= 0)[None, :] \
+            & (ogrid[None, :].astype(gs.dtype) < ob_t[:, None]) & found
+        flat = jnp.where(ok, blk, jnp.inf).reshape(-1)
+        i = jnp.argmin(flat)                           # C++ scan/tie order
+        s = flat[i]
+        slot = i // _N_R
+        r = (_R_LO + i % _N_R).astype(jnp.int32)
+        better = s < best_s
+        oh_s = (jnp.arange(n_slots) == slot).astype(gs.dtype)
+        u_new = (oh_s * fu_row).sum()
+        return (jnp.where(better, s, best_s),
+                jnp.where(better, u_new, u),
+                jnp.where(better, r, rbest),
+                found)
+
+    # stage 2: widths chain2(bw1), offsets bo1 +- 10 (n_hseg.cpp:123-131)
+    fdt = gs.dtype
+    sel2 = jnp.einsum("p,psc->sc", oh_p1, pick("sel2"))
+    ob2 = oh_p1 @ pick("ob2")
+    v2 = oh_p1 @ jnp.asarray(t["v2"]).astype(fdt)
+    fu2 = oh_p1 @ jnp.asarray(t["fu2"])
+    state = stage(6, sel2, ob2, v2, fu2, jnp.int32(-10), jnp.int32(10),
+                  (best_s, u, rbest, found))
+
+    # stage 3: widths chain3(bw2), offsets bo2 +- 3 (:133-139)
+    nu = t["wval"].shape[0]
+    oh_u = (jnp.arange(nu) == state[1].astype(jnp.int32)).astype(fdt)
+    sel3 = jnp.einsum("u,usc->sc", oh_u, pick("sel3"))
+    state = stage(5, sel3, oh_u @ pick("ob3"),
+                  oh_u @ jnp.asarray(t["v3"]).astype(fdt),
+                  oh_u @ jnp.asarray(t["fu3"]),
+                  state[2] - 3, state[2] + 3, state)
+
+    # stage 4: widths chain4(bw3), offsets bo3 +- 3 (:141-147)
+    oh_u = (jnp.arange(nu) == state[1].astype(jnp.int32)).astype(fdt)
+    sel4 = jnp.einsum("u,usc->sc", oh_u, pick("sel4"))
+    state = stage(6, sel4, oh_u @ pick("ob4"),
+                  oh_u @ jnp.asarray(t["v4"]).astype(fdt),
+                  oh_u @ jnp.asarray(t["fu4"]),
+                  state[2] - 3, state[2] + 3, state)
+
+    score, u, rbest, found = state
+    oh_u = (jnp.arange(nu) == u.astype(jnp.int32)).astype(fdt)
+    width = jnp.where(found, (oh_u * jnp.asarray(t["wval"])).sum(),
+                      jnp.float32(0.0))
+    o = jnp.where(found, bo1 + rbest, 0).astype(jnp.int32)
+
     # digit cell left edges: o + lrintf(k*w) for MASKED k, packed in digit
     # order (n_hseg.cpp:57-66); the masked positions are static constants
     # per pattern, so the pack is a simple select
     def _positions(p):
         ks = [k for k, m in enumerate(PATTERN_MASKS[p]) if m]
         return np.array(ks + [0] * (16 - len(ks)), np.float32)
-    masked_k = jnp.where(pattern_type == 2, jnp.asarray(_positions(2)),
+    masked_k = jnp.where(is_amex, jnp.asarray(_positions(2)),
                          jnp.asarray(_positions(1)))
     centers = o + jnp.round(masked_k * width).astype(jnp.int32)
 
@@ -372,7 +466,7 @@ def best_n_hseg(y_strip, pattern_type, number_length) -> HSeg:
     return HSeg(
         n_offsets=n_offsets,
         number_width=width,
-        pattern_offset=o.astype(jnp.int32),
+        pattern_offset=o,
         offsets=offsets,
         score=score,
     )

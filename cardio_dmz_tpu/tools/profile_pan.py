@@ -78,7 +78,7 @@ def main():
 
     hseg_core = lambda x: jax.vmap(
         lambda s: best_n_hseg(s, jnp.asarray(1), jnp.asarray(16)).pattern_offset)(x)
-    report("hseg (dense grid)", bench_chain(chain(hseg_core), strips,
+    report("hseg (staged search)", bench_chain(chain(hseg_core), strips,
                                             args.iters))
 
     def cat_core(x):
