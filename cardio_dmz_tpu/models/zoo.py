@@ -108,43 +108,12 @@ def pan_digit_scores(params_a, params_b, params_c, img):
 
     score = (r0 + r1 + r2 - max(r0, r1, r2)) / 2 — rewards 3/3 consensus.
     img: (..., 27, 19) float32. Returns (..., 10) scores.
-
-    The three models share one architecture, so the ensemble runs STACKED:
-    one 24-filter conv + rank-3-batched matmuls instead of three separate
-    model applications (3x fewer kernel launches; per-channel/per-model
-    contractions are unchanged, so the math is identical).
     """
-    if img.shape[-2:] != (27, 19):
-        raise ValueError(
-            f"PAN digit cell must be (..., 27, 19) (H, W); got {img.shape}")
-    ps = (params_a, params_b, params_c)
-    batch_shape = img.shape[:-2]
-    x = img.reshape((-1, 1, 27, 19))
-    n = x.shape[0]
-
-    w = jnp.concatenate([p["conv_w"] for p in ps])[:, None]   # (24, 1, 3, 3)
-    conv = lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=_PRECISION[0],
-    )[:, :, :24, :15]                                          # (N, 24, 24, 15)
-    pooled = conv.reshape(n, 24, 8, 3, 5, 3).max(axis=(3, 5))  # (N, 24, 8, 5)
-    cb = jnp.concatenate([p["conv_b"] for p in ps])
-    act = _tanh(pooled + cb[None, :, None, None])
-    flat = act.reshape(n, 3, 320)                              # per model
-
-    hw = jnp.stack([p["hidden_w"] for p in ps])                # (3, 32, 320)
-    hb = jnp.stack([p["hidden_b"] for p in ps])                # (3, 32)
-    h = _tanh(jnp.einsum("nmi,mhi->nmh", flat, hw,
-                         precision=_PRECISION[0]) + hb[None])
-    lw = jnp.stack([p["logistic_w"] for p in ps])              # (3, 10, 32)
-    lb = jnp.stack([p["logistic_b"] for p in ps])
-    logits = jnp.einsum("nmh,moh->nmo", h, lw,
-                        precision=_PRECISION[0]) + lb[None]
-    r = _softmax(logits)                                       # (N, 3, 10)
-    rmax = jnp.max(r, axis=1)
-    scores = (jnp.sum(r, axis=1) - rmax) / 2.0
-    return scores.reshape(batch_shape + (10,))
+    r0 = apply_pan_conv(params_a, img)
+    r1 = apply_pan_conv(params_b, img)
+    r2 = apply_pan_conv(params_c, img)
+    rmax = jnp.maximum(jnp.maximum(r0, r1), r2)
+    return (r0 + r1 + r2 - rmax) / 2.0
 
 
 def apply_expiry_conv(params, img, return_intermediates=False):

@@ -356,6 +356,10 @@ def best_n_hseg(y_strip, pattern_type, number_length) -> HSeg:
     t = _cascade_tables()
     is_amex = pattern_type == 2
 
+    # Select pattern-dependent data by computing tiny per-pattern RESULTS
+    # and where-ing those — never the tables themselves: under the stream
+    # vmap, a where() on a (336, 5, 160) constant batches to a per-stream
+    # copy (tens of MB materialized per step).
     def pick(key):
         return jnp.where(is_amex, jnp.asarray(t["amex"][key]),
                          jnp.asarray(t["visa"][key]))
@@ -392,8 +396,13 @@ def best_n_hseg(y_strip, pattern_type, number_length) -> HSeg:
     selm = (jnp.arange(_O_FULL)[None, :] == ogrid[:, None]).astype(gs.dtype)
     win_r = selm @ win_full                            # (30, 428)
     pref_r = selm @ cums_full
-    bank = pick("bank")                                # (ncv, 428)
-    sr = jnp.sum(jnp.abs(win_r[None, :, :] - bank[:, None, :]), -1)
+    # sweep BOTH patterns' banks stacked as one shared constant, then
+    # select the pattern's half with a static slice (see pick() note)
+    ncv = t["visa"]["bank"].shape[0]
+    bank2 = jnp.asarray(np.concatenate([t["visa"]["bank"],
+                                        t["amex"]["bank"]]))
+    sr2 = jnp.sum(jnp.abs(win_r[None, :, :] - bank2[:, None, :]), -1)
+    sr = jnp.where(is_amex, sr2[ncv:], sr2[:ncv])
     sr = sr + pref_r[None, :]                          # (ncv, 30)
 
     def stage(n_slots, sel_t, ob_t, v_row, fu_row, r_lo, r_hi, state):
@@ -417,10 +426,16 @@ def best_n_hseg(y_strip, pattern_type, number_length) -> HSeg:
                 jnp.where(better, r, rbest),
                 found)
 
+    # per-pattern contraction against the per-pattern CONSTANT table,
+    # where-selecting only the small result (see pick() note)
+    def dual(key, contract):
+        return jnp.where(is_amex, contract(jnp.asarray(t["amex"][key])),
+                         contract(jnp.asarray(t["visa"][key])))
+
     # stage 2: widths chain2(bw1), offsets bo1 +- 10 (n_hseg.cpp:123-131)
     fdt = gs.dtype
-    sel2 = jnp.einsum("p,psc->sc", oh_p1, pick("sel2"))
-    ob2 = oh_p1 @ pick("ob2")
+    sel2 = dual("sel2", lambda m: jnp.einsum("p,psc->sc", oh_p1, m))
+    ob2 = dual("ob2", lambda m: oh_p1 @ m)
     v2 = oh_p1 @ jnp.asarray(t["v2"]).astype(fdt)
     fu2 = oh_p1 @ jnp.asarray(t["fu2"])
     state = stage(6, sel2, ob2, v2, fu2, jnp.int32(-10), jnp.int32(10),
@@ -429,16 +444,16 @@ def best_n_hseg(y_strip, pattern_type, number_length) -> HSeg:
     # stage 3: widths chain3(bw2), offsets bo2 +- 3 (:133-139)
     nu = t["wval"].shape[0]
     oh_u = (jnp.arange(nu) == state[1].astype(jnp.int32)).astype(fdt)
-    sel3 = jnp.einsum("u,usc->sc", oh_u, pick("sel3"))
-    state = stage(5, sel3, oh_u @ pick("ob3"),
+    sel3 = dual("sel3", lambda m: jnp.einsum("u,usc->sc", oh_u, m))
+    state = stage(5, sel3, dual("ob3", lambda m: oh_u @ m),
                   oh_u @ jnp.asarray(t["v3"]).astype(fdt),
                   oh_u @ jnp.asarray(t["fu3"]),
                   state[2] - 3, state[2] + 3, state)
 
     # stage 4: widths chain4(bw3), offsets bo3 +- 3 (:141-147)
     oh_u = (jnp.arange(nu) == state[1].astype(jnp.int32)).astype(fdt)
-    sel4 = jnp.einsum("u,usc->sc", oh_u, pick("sel4"))
-    state = stage(6, sel4, oh_u @ pick("ob4"),
+    sel4 = dual("sel4", lambda m: jnp.einsum("u,usc->sc", oh_u, m))
+    state = stage(6, sel4, dual("ob4", lambda m: oh_u @ m),
                   oh_u @ jnp.asarray(t["v4"]).astype(fdt),
                   oh_u @ jnp.asarray(t["fu4"]),
                   state[2] - 3, state[2] + 3, state)
