@@ -320,25 +320,20 @@ def _cascade_tables():
         if bank.shape[0] < ncv:
             bank = np.pad(bank, ((0, ncv - bank.shape[0]), (0, 0)))
         cvid, obound = d["cvid"], d["obound"]
-        sel2 = np.zeros((6, 6, ncv), f32)
-        sel3 = np.zeros((nu, 5, ncv), f32)
-        sel4 = np.zeros((nu, 6, ncv), f32)
-        for pi in range(6):
-            for s in range(6):
-                sel2[pi, s, cvid[u2[pi, s]]] = 1.0
-        for ui in range(nu):
-            for s in range(5):
-                sel3[ui, s, cvid[u3[ui, s]]] = 1.0
-            for s in range(6):
-                sel4[ui, s, cvid[u4[ui, s]]] = 1.0
         out[name] = {
             "bank": bank,
             "base1": bank[cvid[u1]],                  # (6, 428)
+            # per-stage templates with the cv select FOLDED IN host-side:
+            # base_n[parent, slot, x] — selection commutes with |.|, so
+            # comparing these directly equals selecting rows of a full
+            # bank sweep, at ~1/18th the arithmetic
+            "base2": bank[cvid[u2]],                  # (6, 6, 428)
+            "base3": bank[cvid[u3]],                  # (nu, 5, 428)
+            "base4": bank[cvid[u4]],                  # (nu, 6, 428)
             "ob1": obound[u1].astype(f32),
             "ob2": obound[u2].astype(f32),            # (6, 6)
             "ob3": obound[u3].astype(f32),            # (nu, 5)
             "ob4": obound[u4].astype(f32),            # (nu, 6)
-            "sel2": sel2, "sel3": sel3, "sel4": sel4,
         }
     return out
 
@@ -396,20 +391,14 @@ def best_n_hseg(y_strip, pattern_type, number_length) -> HSeg:
     selm = (jnp.arange(_O_FULL)[None, :] == ogrid[:, None]).astype(gs.dtype)
     win_r = selm @ win_full                            # (30, 428)
     pref_r = selm @ cums_full
-    # sweep BOTH patterns' banks stacked as one shared constant, then
-    # select the pattern's half with a static slice (see pick() note)
-    ncv = t["visa"]["bank"].shape[0]
-    bank2 = jnp.asarray(np.concatenate([t["visa"]["bank"],
-                                        t["amex"]["bank"]]))
-    sr2 = jnp.sum(jnp.abs(win_r[None, :, :] - bank2[:, None, :]), -1)
-    sr = jnp.where(is_amex, sr2[ncv:], sr2[:ncv])
-    sr = sr + pref_r[None, :]                          # (ncv, 30)
 
-    def stage(n_slots, sel_t, ob_t, v_row, fu_row, r_lo, r_hi, state):
-        """One best_n_hseg_constrained call (n_hseg.cpp:39-85) emulated on
-        the shared score matrix + strict-< carry against the running best."""
+    def stage(n_slots, base_s, ob_t, v_row, fu_row, r_lo, r_hi, state):
+        """One best_n_hseg_constrained call (n_hseg.cpp:39-85): L1 of the
+        stage's (slots, 428) templates against the shared offset window +
+        strict-< carry against the running best."""
         best_s, u, rbest, found = state
-        blk = sel_t @ sr                               # (slots, 30)
+        blk = jnp.sum(jnp.abs(win_r[None, :, :] - base_s[:, None, :]), -1)
+        blk = blk + pref_r[None, :]                    # (slots, 30)
         ok = (v_row[:, None] > 0.5) & (rr >= r_lo)[None, :] \
             & (rr < r_hi)[None, :] & (ogrid >= 0)[None, :] \
             & (ogrid[None, :].astype(gs.dtype) < ob_t[:, None]) & found
@@ -434,26 +423,26 @@ def best_n_hseg(y_strip, pattern_type, number_length) -> HSeg:
 
     # stage 2: widths chain2(bw1), offsets bo1 +- 10 (n_hseg.cpp:123-131)
     fdt = gs.dtype
-    sel2 = dual("sel2", lambda m: jnp.einsum("p,psc->sc", oh_p1, m))
+    base2 = dual("base2", lambda m: jnp.einsum("p,psx->sx", oh_p1, m))
     ob2 = dual("ob2", lambda m: oh_p1 @ m)
     v2 = oh_p1 @ jnp.asarray(t["v2"]).astype(fdt)
     fu2 = oh_p1 @ jnp.asarray(t["fu2"])
-    state = stage(6, sel2, ob2, v2, fu2, jnp.int32(-10), jnp.int32(10),
+    state = stage(6, base2, ob2, v2, fu2, jnp.int32(-10), jnp.int32(10),
                   (best_s, u, rbest, found))
 
     # stage 3: widths chain3(bw2), offsets bo2 +- 3 (:133-139)
     nu = t["wval"].shape[0]
     oh_u = (jnp.arange(nu) == state[1].astype(jnp.int32)).astype(fdt)
-    sel3 = dual("sel3", lambda m: jnp.einsum("u,usc->sc", oh_u, m))
-    state = stage(5, sel3, dual("ob3", lambda m: oh_u @ m),
+    base3 = dual("base3", lambda m: jnp.einsum("u,usx->sx", oh_u, m))
+    state = stage(5, base3, dual("ob3", lambda m: oh_u @ m),
                   oh_u @ jnp.asarray(t["v3"]).astype(fdt),
                   oh_u @ jnp.asarray(t["fu3"]),
                   state[2] - 3, state[2] + 3, state)
 
     # stage 4: widths chain4(bw3), offsets bo3 +- 3 (:141-147)
     oh_u = (jnp.arange(nu) == state[1].astype(jnp.int32)).astype(fdt)
-    sel4 = dual("sel4", lambda m: jnp.einsum("u,usc->sc", oh_u, m))
-    state = stage(6, sel4, dual("ob4", lambda m: oh_u @ m),
+    base4 = dual("base4", lambda m: jnp.einsum("u,usx->sx", oh_u, m))
+    state = stage(6, base4, dual("ob4", lambda m: oh_u @ m),
                   oh_u @ jnp.asarray(t["v4"]).astype(fdt),
                   oh_u @ jnp.asarray(t["fu4"]),
                   state[2] - 3, state[2] + 3, state)
