@@ -22,10 +22,10 @@ BASELINE_FPS = 22.0
 
 def main():
     ap = argparse.ArgumentParser()
-    # 64-stream batches measure fastest per frame (8,167 vs 7,761 fps at
-    # 256); serving the north-star 256 concurrent 30 fps streams needs
-    # 7,680 fps/chip, which 4 sequential 64-batches deliver
-    ap.add_argument("--streams", type=int, default=64)
+    # the north-star serving shape (256 concurrent 30 fps streams in one
+    # graph) is also the fastest batch again since the table-driven hseg:
+    # 8,704 fps at 256 vs 8,077 at 64 (2026-08-17)
+    ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--expiry", action=argparse.BooleanOptionalAction,
