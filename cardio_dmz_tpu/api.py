@@ -298,7 +298,7 @@ def warp_src_bounds(shape, orientation, upsample=False):
 
 def transform_card(sample, corner_points: CornerPoints,
                    orientation=ORIENTATION_LANDSCAPE_RIGHT, upsample=False,
-                   src_bounds=None):
+                   src_bounds=None, warp_dtype=None):
     """dmz_transform_card (dmz.cpp:443-497): orientation-dependent corner
     ordering, then perspective warp to 428x270.
 
@@ -315,11 +315,13 @@ def transform_card(sample, corner_points: CornerPoints,
         src = src / 2.0
     return unwarp_card(sample, src, out_shape=(CARD_HEIGHT, CARD_WIDTH),
                        src_bounds=src_bounds,
-                       transpose=_orientation_transposes(orientation))
+                       transpose=_orientation_transposes(orientation),
+                       compute_dtype=warp_dtype)
 
 
 def preprocess_frame(y_sample, cb_sample, cr_sample,
-                     orientation=ORIENTATION_LANDSCAPE_RIGHT):
+                     orientation=ORIENTATION_LANDSCAPE_RIGHT,
+                     warp_dtype=None):
     """Full camera-frame preprocessing as one jittable graph: detect the
     card's edges across the Y/Cb/Cr planes and rectify the luma plane to
     the 428x270 card image (the reference's per-preview-frame host loop,
@@ -330,7 +332,8 @@ def preprocess_frame(y_sample, cb_sample, cr_sample,
     """
     _, corners = detect_edges(y_sample, cb_sample, cr_sample, orientation)
     bounds = warp_src_bounds(y_sample.shape, orientation)
-    card = transform_card(y_sample, corners, orientation, src_bounds=bounds)
+    card = transform_card(y_sample, corners, orientation, src_bounds=bounds,
+                          warp_dtype=warp_dtype)
     card = jnp.where(corners.found_all, card, jnp.zeros_like(card))
     return corners.found_all, card
 

@@ -30,6 +30,14 @@ class ScanConfig:
     #                                   loses under the vmapped stream batch
     #                                   where XLA's fused jnp path is faster)
     interpret_pallas: bool = False    # pallas interpret mode (CPU testing)
+    warp_bf16: bool = False           # bf16 contractions in the camera warp
+    #                                   — the analogue of the reference's
+    #                                   reduced-precision GL warp
+    #                                   (dmz_use_gles_warp); +-2 gray vs the
+    #                                   f32 cv-faithful path. Measured
+    #                                   throughput-neutral on v5e (the warp
+    #                                   cost is hat-weight generation, not
+    #                                   the contraction), so OFF by default.
 
     # serving shape
     n_streams: int = 256              # concurrent camera streams per chip

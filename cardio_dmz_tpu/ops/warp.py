@@ -149,7 +149,7 @@ def _block_starts(lo0, hi0, lo1, hi1, out_n, in_n, block, win, pad):
 
 def warp_perspective_dense(image, m_dst_to_src, out_shape, src_bounds=None,
                            row_block=16, row_win=192, col_block=64,
-                           col_win=256, tilt=0.095):
+                           col_win=256, tilt=0.095, compute_dtype=None):
     """Gather-free perspective warp: classic two-pass (Catmull-Smith)
     resampling where each pass is a dense hat-weight contraction.
 
@@ -180,6 +180,13 @@ def warp_perspective_dense(image, m_dst_to_src, out_shape, src_bounds=None,
     ranges ± the tilt spread), cutting the hat work ~3x. Samples that
     fall outside the promised bounds read as zero (fill), which only
     happens for quads the detector could not have produced.
+
+    compute_dtype: dtype for the hat-weight contractions (coordinates stay
+    f32; accumulation stays f32). jnp.bfloat16 is the serving analogue of
+    the reference's reduced-precision on-device GL warp
+    (dmz_use_gles_warp, cv/warp.cpp:133-148): pixel error <=1-2 gray,
+    MXU-rate contractions. None/f32 = the cvWarpPerspective-faithful
+    research path (the reference's CYTHON_DMZ configuration).
     """
     out_h, out_w = out_shape
     in_h, in_w = image.shape[-2], image.shape[-1]
@@ -203,7 +210,12 @@ def warp_perspective_dense(image, m_dst_to_src, out_shape, src_bounds=None,
     den_y = m[2, 0] * c_rj + a_r
     y_rj = (m[1, 0] * c_rj + m[1, 1] * rr[:, :1] + m[1, 2]) / den_y  # (R, W)
 
-    imgf = image.astype(jnp.float32)
+    cdt = compute_dtype or jnp.float32
+    imgf = image.astype(cdt)   # u8 values are exact in bf16 and f32
+
+    def contract(spec, w, operand):
+        return jnp.einsum(spec, w.astype(cdt), operand,
+                          preferred_element_type=jnp.float32)
 
     row_starts = col_starts = None
     if src_bounds is not None:
@@ -225,7 +237,7 @@ def warp_perspective_dense(image, m_dst_to_src, out_shape, src_bounds=None,
     if row_starts is None:
         ii = jnp.arange(in_h, dtype=jnp.float32)
         w1 = jnp.maximum(0.0, 1.0 - jnp.abs(y_rj[:, :, None] - ii))
-        v = jnp.einsum("rji,ij->rj", w1, imgf)           # (R, W)
+        v = contract("rji,ij->rj", w1, imgf)             # (R, W)
     else:
         parts = []
         for b, s in enumerate(row_starts):
@@ -235,23 +247,24 @@ def warp_perspective_dense(image, m_dst_to_src, out_shape, src_bounds=None,
             ii = (s + jnp.arange(row_win)).astype(jnp.float32)
             yb = y_rj[r0:r0 + rb]
             w1 = jnp.maximum(0.0, 1.0 - jnp.abs(yb[:, :, None] - ii))
-            parts.append(jnp.einsum("rji,ij->rj", w1, win))
+            parts.append(contract("rji,ij->rj", w1, win))
         v = jnp.concatenate(parts, axis=0)               # (R, W)
 
     # pass 2 (horizontal): out[r, c] = sum_j hat(X - j) * V[r, j]
+    v_op = v.astype(cdt)
     if col_starts is None:
         w2 = jnp.maximum(0.0, 1.0 - jnp.abs(x_rc[:, :, None] - jj[0]))
-        out = jnp.einsum("rcj,rj->rc", w2, v)            # (R, C)
+        out = contract("rcj,rj->rc", w2, v_op)           # (R, C)
     else:
         parts = []
         for b, s in enumerate(col_starts):
             c0 = b * col_block
             cb = min(col_block, out_w - c0)
-            vw = v[:, s:s + col_win]
+            vw = v_op[:, s:s + col_win]
             jw = (s + jnp.arange(col_win)).astype(jnp.float32)
             xb = x_rc[:, c0:c0 + cb]
             w2 = jnp.maximum(0.0, 1.0 - jnp.abs(xb[:, :, None] - jw))
-            parts.append(jnp.einsum("rcj,rj->rc", w2, vw))
+            parts.append(contract("rcj,rj->rc", w2, vw))
         out = jnp.concatenate(parts, axis=1)             # (R, C)
 
     if jnp.issubdtype(image.dtype, jnp.integer):
@@ -260,7 +273,8 @@ def warp_perspective_dense(image, m_dst_to_src, out_shape, src_bounds=None,
 
 
 def unwarp_card(image, source_points, out_shape=(CARD_HEIGHT, CARD_WIDTH),
-                method="dense", src_bounds=None, transpose=False):
+                method="dense", src_bounds=None, transpose=False,
+                compute_dtype=None):
     """llcv_unwarp (cv/warp.cpp:130-169): rectify the quad `source_points`
     (tl, tr, bl, br order per dmz_rect_get_points) to a 428x270 card.
 
@@ -284,7 +298,8 @@ def unwarp_card(image, source_points, out_shape=(CARD_HEIGHT, CARD_WIDTH),
             source_points = jnp.asarray(source_points)[:, ::-1]
         m = rect_to_quad_map(source_points, out_shape)
         return warp_perspective_dense(image, m, out_shape,
-                                      src_bounds=src_bounds)
+                                      src_bounds=src_bounds,
+                                      compute_dtype=compute_dtype)
     out_h, out_w = out_shape
     dest_points = jnp.asarray(
         [[0.0, 0.0], [out_w - 1.0, 0.0], [0.0, out_h - 1.0],

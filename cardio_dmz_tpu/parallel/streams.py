@@ -29,17 +29,19 @@ def batched_scanner_step(params, states, frames, scan_expiry=False):
 
 
 def batched_camera_step(params, states, y, cb, cr, scan_expiry=False,
-                        orientation=None):
+                        orientation=None, config=None):
     """One camera->digits step for every stream — detection, rectification,
     and recognition in ONE graph (the honest end-to-end serving unit).
 
     y: (S, 480, 640) u8; cb/cr: (S, 240, 320) u8 half-size chroma.
-    Returns (states, (found, frame results, scanner results)).
+    config: static ScanConfig (e.g. warp_bf16 for the serving-precision
+    camera warp). Returns (states, (found, frame results, scanner
+    results)).
     """
     def step(state, ys, cbs, crs):
         return camera_scanner_step(params, state, ys, cbs, crs,
                                    scan_expiry=scan_expiry,
-                                   orientation=orientation)
+                                   orientation=orientation, config=config)
     return jax.vmap(step)(states, y, cb, cr)
 
 

@@ -37,6 +37,13 @@ def main():
                          "-> edge detection -> rectification -> digits, "
                          "one graph (the reference's whole per-frame work, "
                          "dmz.cpp:371-497 + scan stack)")
+    ap.add_argument("--warp-bf16", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="bf16 warp contractions in --camera mode (the "
+                         "GL-warp analogue). Measured neutral on v5e — the "
+                         "warp cost is hat-weight generation, not the "
+                         "contraction — so the f32 cv-faithful path is the "
+                         "default")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny sizes for CI smoke")
     args = ap.parse_args()
@@ -52,10 +59,15 @@ def main():
     rng = np.random.RandomState(0)
 
     if args.camera:
+        from cardio_dmz_tpu.config import ScanConfig
+        cam_config = ScanConfig(scan_expiry=args.expiry,
+                                warp_bf16=args.warp_bf16)
+
         @jax.jit
         def step(states, y, cb, cr):
             states, (found, frame_results, results) = batched_camera_step(
-                params, states, y, cb, cr, scan_expiry=args.expiry)
+                params, states, y, cb, cr, scan_expiry=args.expiry,
+                config=cam_config)
             return states, results.complete
 
         y = rng.randint(0, 256, (args.streams, 480, 640)).astype(np.uint8)
