@@ -10,21 +10,28 @@ single batch — the three convs and both matmuls run once per frame over the
 16-cell batch (and over the stream batch when the caller vmaps).
 """
 
-import jax
 import jax.numpy as jnp
-from jax import lax
 
-from ..constants import NUMBER_HEIGHT, NUMBER_WIDTH
+from ..constants import NUMBER_WIDTH
 from ..models import pan_digit_scores
 from ..ops import equalize_hist, morph_grad3_2d_cross_u8
 
 
 def extract_cells(y_strip, offsets):
     """Gather 16 digit cells. y_strip: (27, 428) u8; offsets: (16,) int32.
-    Returns (16, 27, 19) u8."""
-    def cell(o):
-        return lax.dynamic_slice(y_strip, (0, o), (NUMBER_HEIGHT, NUMBER_WIDTH))
-    return jax.vmap(cell)(offsets)
+    Returns (16, 27, 19) u8.
+
+    Gather-free: a vmapped dynamic_slice of the (shared) strip lowers to a
+    serial slice chain under the stream vmap; one one-hot contraction per
+    frame fetches all 16 cells as a single MXU matmul instead. Each output
+    sums exactly one nonzero product, so the values are exact."""
+    cols = jnp.arange(y_strip.shape[-1])
+    # sel[k, x', c] = (c == offsets[k] + x')
+    sel = (cols[None, None, :]
+           == (offsets[:, None] + jnp.arange(NUMBER_WIDTH))[:, :, None])
+    cells = jnp.einsum("kxc,rc->krx", sel.astype(jnp.float32),
+                       y_strip.astype(jnp.float32))
+    return cells.astype(y_strip.dtype)
 
 
 def prepare_cells(cells):
