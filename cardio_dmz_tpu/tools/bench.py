@@ -44,11 +44,19 @@ def main():
                          "warp cost is hat-weight generation, not the "
                          "contraction — so the f32 cv-faithful path is the "
                          "default")
+    ap.add_argument("--latency", action="store_true",
+                    help="report p50 frame->digits latency instead of "
+                         "throughput: a single-stream step, timed as the "
+                         "steady-state per-step time of the one jitted "
+                         "graph (no host round-trips inside a step)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny sizes for CI smoke")
     args = ap.parse_args()
     if args.smoke:
         args.streams, args.iters, args.warmup = 8, 3, 1
+    if args.latency:
+        args.streams = 1
+        args.iters = max(args.iters, 50)
 
     import jax
     from cardio_dmz_tpu.models.weights import load_all_params
@@ -107,6 +115,17 @@ def main():
           f"iters={args.iters} step={step_ms:.1f}ms expiry={args.expiry} "
           f"camera={args.camera}",
           file=sys.stderr)
+    if args.latency:
+        # steady-state per-step time of the deterministic single-stream
+        # graph == p50 frame->digits latency; baseline = 1/22 fps = 45.5 ms
+        print(json.dumps({
+            "metric": ("camera_frame_latency_p50" if args.camera
+                       else "scan_frame_latency_p50"),
+            "value": round(step_ms, 2),
+            "unit": "ms",
+            "vs_baseline": round((1000.0 / BASELINE_FPS) / step_ms, 2),
+        }))
+        return
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 1),
