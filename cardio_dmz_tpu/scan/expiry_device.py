@@ -330,9 +330,13 @@ def _trim_char(band21, char_left, group_top, char_width):
     valid = (left0 >= 0) & (left0 + cw <= CARD_WIDTH) & \
         (top0 + ch <= CARD_HEIGHT) & (top0 >= 0)
 
-    crop = lax.dynamic_slice(
-        band21, (0, jnp.clip(left0, 0, CARD_WIDTH - EXPANDED_W)),
-        (EXPANDED_H, EXPANDED_W)).astype(jnp.float32)
+    # columns-only crop as a one-hot contraction (a dynamic_slice of the
+    # shared band under the streams x chars vmap lowers to slice chains;
+    # each output sums exactly one nonzero product, so values are exact)
+    l0 = jnp.clip(left0, 0, CARD_WIDTH - EXPANDED_W)
+    sel = ((l0 + jnp.arange(EXPANDED_W))[:, None]
+           == jnp.arange(CARD_WIDTH)[None, :]).astype(jnp.float32)
+    crop = jnp.einsum("xc,rc->rx", sel, band21.astype(jnp.float32))
     col_in = jnp.arange(EXPANDED_W) < cw
     crop = jnp.where(col_in[None, :], crop, 0.0)
 
