@@ -444,8 +444,13 @@ def _process_stripe(sobel, base, stripe_sum, stripe_valid):
     (char_lefts (G, 16), group_top (G,), char_width (G,), alive (G, 16));
     trimming + slash anchoring happen at the top level in flat batches."""
     base = jnp.clip(base, 1, CARD_HEIGHT - BAND_H)
-    band = lax.dynamic_slice(sobel, (base, 0), (BAND_H, CARD_WIDTH))
-    band = band.astype(jnp.int32)
+    # rows-only crop as a one-hot contraction (dynamic_slice of the shared
+    # sobel serializes under the stripe vmap; scharr values < 2^24 so the
+    # f32 selection products are exact)
+    rsel = ((base + jnp.arange(BAND_H))[:, None]
+            == jnp.arange(CARD_HEIGHT)[None, :]).astype(jnp.float32)
+    band = jnp.einsum("xr,rc->xc", rsel,
+                      sobel.astype(jnp.float32)).astype(jnp.int32)
     col_sums = jnp.sum(band, axis=0)
     csum = jnp.concatenate([jnp.zeros((1,), col_sums.dtype),
                             jnp.cumsum(col_sums)])
@@ -573,8 +578,11 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
     # per char, ~330 MB of HBM traffic per step)
     S_, G_ = r_lefts.shape[0], r_lefts.shape[1]
     band_top = jnp.clip(g_top[:, 0] - 2, 0, CARD_HEIGHT - EXPANDED_H)  # (3,)
-    bands = jax.vmap(lambda t: lax.dynamic_slice(
-        sobel, (t, 0), (EXPANDED_H, CARD_WIDTH)))(band_top)  # (3, 21, 428)
+    # rows-only crops as one one-hot contraction (see _process_stripe)
+    bsel = ((band_top[:, None, None] + jnp.arange(EXPANDED_H)[None, :, None])
+            == jnp.arange(CARD_HEIGHT)[None, None, :]).astype(jnp.float32)
+    bands = jnp.einsum("sxr,rc->sxc", bsel,
+                       sobel.astype(jnp.float32))             # (3, 21, 428)
 
     def stripe_trim(band, lefts_s, tops_s, cw_s):
         return jax.vmap(lambda cl, tp, cw: _trim_char(band, cl, tp, cw))(
@@ -660,8 +668,12 @@ def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
     n_c = CARD_WIDTH - TRIM_W + 1
 
     band_tops = jnp.clip(windows.top - 2, 0, CARD_HEIGHT - EXPANDED_H)
-    bands = jax.vmap(lambda t: lax.dynamic_slice(
-        y_img, (t, 0), (EXPANDED_H, CARD_WIDTH)))(band_tops)  # (W, 21, 428)
+    # rows-only crops as one one-hot contraction (dynamic_slice of the
+    # shared luma serializes under the window vmap; u8 values are exact)
+    bsel = ((band_tops[:, None, None] + jnp.arange(EXPANDED_H)[None, :, None])
+            == jnp.arange(CARD_HEIGHT)[None, None, :]).astype(jnp.float32)
+    bands = jnp.einsum("wxr,rc->wxc", bsel,
+                       y_img.astype(jnp.float32)).astype(jnp.uint8)
 
     shifted = jnp.stack([bands[:, :, j:j + n_c] for j in range(TRIM_W)],
                         axis=1).astype(jnp.bfloat16)       # (W, 11, 21, 418)
