@@ -467,11 +467,13 @@ def _process_stripe(sobel, base, stripe_sum, stripe_valid):
 
     accepted = _nonoverlap_select(rect_sums, cand)
 
-    # shared by every group of this stripe: regrid rows [base-1, base+16)
-    rows_regrid = lax.dynamic_slice(
-        sobel, (jnp.clip(base - 1, 0, CARD_HEIGHT - BAND_H), 0),
-        (BAND_H, CARD_WIDTH)).astype(jnp.int32)
-    col_sums_grp = jnp.sum(rows_regrid, axis=0)
+    # shared by every group of this stripe: regrid rows [base-1, base+16) —
+    # only the column sums are used, so select rows with one contraction
+    rbase = jnp.clip(base - 1, 0, CARD_HEIGHT - BAND_H)
+    rsel2 = ((rbase + jnp.arange(BAND_H))[:, None]
+             == jnp.arange(CARD_HEIGHT)[None, :]).astype(jnp.float32)
+    col_sums_grp = jnp.einsum("xr,rc->c", rsel2,
+                              sobel.astype(jnp.float32)).astype(jnp.int32)
 
     # compact accepted lefts in ascending order (sentinel 9999): rank by
     # prefix count + one-hot contraction — a 420-wide sort costs ~1 ms/step
@@ -639,8 +641,16 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
     fi = pick % F
 
     def gather_window(s, g, f, ok):
-        ct = lax.dynamic_slice(tops_c[s, g], (f,), (5,))
-        cl = lax.dynamic_slice(lefts_c[s, g], (f,), (5,))
+        # (s, g) row select + 5-char window, both as one-hot contractions
+        # (per-lane indexed reads serialize under the window vmap)
+        oh_sg = (jnp.arange(S * G) == s * G + g).astype(jnp.float32)
+        trow = oh_sg @ tops_c.reshape(S * G, MAX_CHARS).astype(jnp.float32)
+        lrow = oh_sg @ lefts_c.reshape(S * G, MAX_CHARS).astype(jnp.float32)
+        # f <= MAX_CHARS-5 always (firsts grid), so the window is in-bounds
+        sel5 = ((f + jnp.arange(5))[:, None]
+                == jnp.arange(MAX_CHARS)[None, :]).astype(jnp.float32)
+        ct = (sel5 @ trow).astype(tops_c.dtype)
+        cl = (sel5 @ lrow).astype(lefts_c.dtype)
         top = jnp.min(ct)
         left = cl[0]
         return ok, top, left, ct, cl
