@@ -430,9 +430,10 @@ def slash_probs_conv(slash_params, bands, roffs, lefts):
                                           TRIM_W * band_h).astype(jnp.bfloat16)
     h_all = jnp.einsum("swk,ok->swo", A.reshape(n_s, k_win, -1), tw,
                        preferred_element_type=jnp.float32)  # (3, K, 480)
-    h_pre = jnp.take_along_axis(
-        h_all.reshape(n_s, k_win, n_r, -1),
-        jnp.clip(roffs, 0, n_r - 1)[..., None, None], axis=2)[:, :, 0]
+    oh_r = (jnp.clip(roffs, 0, n_r - 1)[..., None]
+            == jnp.arange(n_r)).astype(jnp.float32)       # (3, K, 6)
+    h_pre = jnp.einsum("swr,swro->swo", oh_r,
+                       h_all.reshape(n_s, k_win, n_r, -1))
     h = jnp.tanh(h_pre + slash_params["hidden_b"])
     logits = h @ slash_params["logistic_w"].T + slash_params["logistic_b"]
     return jax.nn.softmax(logits, axis=-1)[..., 0]
@@ -694,8 +695,11 @@ def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
     A = jnp.einsum("wjrc,wkc->wkrj", shifted, onehot,
                    preferred_element_type=jnp.bfloat16)     # (W, 4, 21, 11)
     roff = jnp.clip(ctops - band_tops[:, None], 0, EXPANDED_H - TRIM_H)
-    ridx = roff[..., None, None] + jnp.arange(TRIM_H)[None, None, :, None]
-    crops = jnp.take_along_axis(A, ridx, axis=2)            # (W, 4, 16, 11)
+    ridx = roff[..., None] + jnp.arange(TRIM_H)[None, None, :]  # (W, 4, 16)
+    oh_row = (ridx[..., None] == jnp.arange(EXPANDED_H)).astype(
+        jnp.float32)                                        # (W, 4, 16, 21)
+    crops = jnp.einsum("wkxr,wkrj->wkxj", oh_row,
+                       A.astype(jnp.float32))               # (W, 4, 16, 11)
     cells_u8 = crops.astype(jnp.uint8)
 
     grad = morph_grad3_2d_cross_u8(cells_u8)

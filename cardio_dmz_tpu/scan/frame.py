@@ -105,9 +105,14 @@ def scan_card_image(params, y, collect_card_number=None, scan_expiry=False,
     upside_down = vseg.y_offset < FLIP_VSEG_Y_OFFSET_CUTOFF
     vseg_usable = vseg.score > MIN_VSEG_SCORE
 
-    # PAN strip: 27 rows at the vseg offset (frame.cpp:50)
+    # PAN strip: 27 rows at the vseg offset (frame.cpp:50), fetched as a
+    # one-hot row contraction (a batched dynamic_slice under the stream
+    # vmap lowers to per-lane slice sequences; u8 values are exact)
     y_off = jnp.clip(vseg.y_offset, 0, CARD_HEIGHT - NUMBER_HEIGHT)
-    strip = lax.dynamic_slice(y, (y_off, 0), (NUMBER_HEIGHT, CARD_WIDTH))
+    rsel = ((y_off + jnp.arange(NUMBER_HEIGHT))[:, None]
+            == jnp.arange(CARD_HEIGHT)[None, :]).astype(jnp.float32)
+    strip = jnp.einsum("xr,rc->xc", rsel,
+                       y.astype(jnp.float32)).astype(y.dtype)
 
     hseg = best_n_hseg(strip, vseg.pattern_type, vseg.number_length)
     from ..utils.platform import has_pallas_tpu
