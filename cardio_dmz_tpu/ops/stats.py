@@ -53,11 +53,17 @@ def equalize_hist(x):
     flat = x.reshape((-1, n)).astype(jnp.int32)
 
     if n <= _DENSE_EQUALIZE_MAX_PIXELS:
-        # cdf evaluated at each pixel: (B, N, N) comparisons, fused reduce
-        le = (flat[:, None, :] <= flat[:, :, None]).astype(jnp.float32)
-        cdf_at = jnp.sum(le, axis=-1)                       # (B, N)
-        vals = jnp.clip(jnp.round(cdf_at * (255.0 / n)), 0, 255)
-        out = jnp.where(flat == 0, 0, vals.astype(jnp.int32))
+        # one (B, 256, N) value-indicator tensor serves three times: the
+        # histogram (reduce over N), and the LUT apply (contract over the
+        # 256 values) — half the work of the earlier N x N pairwise form,
+        # and the apply is a matmul
+        oh = flat[:, None, :] == jnp.arange(256)[None, :, None]
+        hist = jnp.sum(oh, axis=-1)                         # (B, 256)
+        cdf = jnp.cumsum(hist, axis=-1)
+        lut = jnp.clip(jnp.round(cdf.astype(jnp.float32) * (255.0 / n)),
+                       0, 255)
+        lut = lut.at[:, 0].set(0.0)                         # lut[0] = 0
+        out = jnp.einsum("bvp,bv->bp", oh.astype(jnp.float32), lut)
         return out.astype(jnp.uint8).reshape(batch_shape + (h, w))
 
     def eq_one(v):

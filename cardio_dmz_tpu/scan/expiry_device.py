@@ -402,7 +402,7 @@ def slash_probs_conv(slash_params, bands, roffs, lefts):
          -> A[w, j, r] = band[r, left_w + j]
       2. rows + weights: one matmul against the 6 row-offset-shifted
          copies of the first-layer weights (row offsets are only 0..5),
-         then a tiny take_along_axis picks the window's offset.
+         then a one-hot contraction picks the window's offset.
 
     bands: (3, 21, 428) int; roffs/lefts: (3, K) window positions relative
     to the band (roffs in [0, 6)). Returns (3, K) slash probabilities.
