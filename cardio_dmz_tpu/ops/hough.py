@@ -102,11 +102,20 @@ def hough_best_line(edge_mask, dx, dy, *, rho=1.0, theta=math.pi / 180.0,
     r = ((jj * tc + ii * ts) >> 10) + center             # (H, W, A)
     k = r - jnp.asarray(r_min.astype(np.int32))          # per-angle bin idx
 
-    # counts[a, b] = number of gated edge pixels with bin b at angle a —
-    # dense one-hot compare, fused into a sum over pixels (no scatter).
-    onehot = (k[..., None] == jnp.arange(nbins, dtype=jnp.int32)) \
-        & use[..., None, None]
-    counts = jnp.sum(onehot, axis=(0, 1), dtype=jnp.int32)  # (A, nbins)
+    # counts[a, b] = number of gated edge pixels with bin b at angle a.
+    # Factored two-level one-hot: b = 16*q + rem, so the count is a
+    # contraction of the q-indicator with the rem-indicator over pixels —
+    # a batched (per-angle) MXU matmul with ~4x less VPU indicator work
+    # than the flat (H, W, A, nbins) compare. Counts <= H*W < 2^24, so the
+    # f32 accumulation is exact.
+    nq = -(-nbins // 16)
+    qf = ((k >> 4)[..., None] == jnp.arange(nq, dtype=jnp.int32)) \
+        & use[..., None, None]                               # (H, W, A, nq)
+    rf = (k & 15)[..., None] == jnp.arange(16, dtype=jnp.int32)
+    counts = jnp.einsum("hwaq,hwar->aqr", qf.astype(jnp.float32),
+                        rf.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    counts = counts.reshape(numangle, nq * 16)[:, :nbins].astype(jnp.int32)
 
     # Reference argmax scans r-major/angle-minor with strict > — first max
     # in that order wins. Encode as lexicographic (count, -scan_key) via
