@@ -298,7 +298,7 @@ def warp_src_bounds(shape, orientation, upsample=False):
 
 def transform_card(sample, corner_points: CornerPoints,
                    orientation=ORIENTATION_LANDSCAPE_RIGHT, upsample=False,
-                   src_bounds=None, warp_dtype=None):
+                   src_bounds=None, warp_dtype=None, method="dense"):
     """dmz_transform_card (dmz.cpp:443-497): orientation-dependent corner
     ordering, then perspective warp to 428x270.
 
@@ -314,7 +314,7 @@ def transform_card(sample, corner_points: CornerPoints,
     if upsample:
         src = src / 2.0
     return unwarp_card(sample, src, out_shape=(CARD_HEIGHT, CARD_WIDTH),
-                       src_bounds=src_bounds,
+                       src_bounds=src_bounds, method=method,
                        transpose=_orientation_transposes(orientation),
                        compute_dtype=warp_dtype)
 

@@ -13,13 +13,11 @@ with no host round-trips — the BASELINE.json north-star shape.
 import typing
 
 import jax.numpy as jnp
-from jax import lax
 
 from ..config import DEFAULT_CONFIG
 
 from ..constants import (
     CARD_HEIGHT,
-    CARD_WIDTH,
     FLIP_VSEG_Y_OFFSET_CUTOFF,
     MAX_NUMBER_SCORE_DELTA,
     MIN_VSEG_SCORE,

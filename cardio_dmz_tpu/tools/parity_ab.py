@@ -154,6 +154,11 @@ def main():
     bounds = api.warp_src_bounds((480, 640), 3)
     tf = jax.jit(lambda s, cp: api.transform_card(s, cp,
                                                   src_bounds=bounds))
+    # cv-faithful research warp (per-pixel bilinear gather): attributes the
+    # dense two-pass residual — digits through THIS warp should track the
+    # reference almost exactly
+    tf_gather = jax.jit(lambda s, cp: api.transform_card(s, cp,
+                                                         method="gather"))
     for i in range(args.camera_frames):
         pan = synthetic.safe_pan(rng)
         card = np.asarray(synthetic.render_frame(
@@ -195,6 +200,15 @@ def main():
             c["cam_digits"] += n
             c["cam_digit_agree"] += sum(
                 a == b for a, b in zip(our_digits, ref.digits))
+        g_card = np.asarray(tf_gather(y, corners))
+        g = scan(g_card)
+        if ref.usable and bool(g.usable) and \
+                int(g.hseg.n_offsets) == ref.hseg_n_offsets:
+            n = ref.hseg_n_offsets
+            g_digits = list(map(int, np.asarray(g.scores).argmax(1)[:n]))
+            c["cam_gather_digits"] += n
+            c["cam_gather_digit_agree"] += sum(
+                a == b for a, b in zip(g_digits, ref.digits))
 
     def pct(a, b):
         return round(100.0 * a / b, 2) if b else None
@@ -224,6 +238,8 @@ def main():
         "camera_corner_exact_pct": pct(c["cam_corner_agree"], c["cam_found_agree"]),
         "camera_warp_close_pct": pct(c["cam_warp_close"], c["cam_found_agree"]),
         "camera_digit_agreement_pct": pct(c["cam_digit_agree"], c["cam_digits"]),
+        "camera_digit_agreement_gather_warp_pct": pct(
+            c["cam_gather_digit_agree"], c["cam_gather_digits"]),
     }
     print(json.dumps(report, indent=None if args.json else 2))
 
