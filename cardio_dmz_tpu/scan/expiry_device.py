@@ -757,11 +757,16 @@ def aggregate_windows(state: ExpiryState, windows: ExpiryWindows,
     win_has = jnp.any(m, axis=0)
     assign = (jnp.arange(MAX_SLOTS)[:, None] == win_slot[None, :]) & \
         win_has[None, :]                                  # (S, W)
-    slot_win = jnp.argmax(assign, axis=1)                 # (S,)
     slot_has = jnp.any(assign, axis=1)
+    # make the assignment EXCLUSIVE per slot (first assigned window wins;
+    # later same-slot windows stay unconsumed and may open fresh slots, the
+    # documented deviation) — without this, two windows matching one slot
+    # would SUM their positions/scores into the EWMA
+    slot_win = jnp.argmax(assign, axis=1)                 # (S,) first True
+    assign = assign & (jnp.arange(MAX_WINDOWS)[None, :] == slot_win[:, None])
 
     # one-hot reductions, not indexed gathers (traced-index loads lower to
-    # while loops under the stream vmap); assign is exclusive per slot
+    # while loops under the stream vmap)
     picked_scores = jnp.sum(
         jnp.where(assign[:, :, None, None], new_scores[None], 0.0), axis=1)
     picked_top = jnp.sum(jnp.where(assign, new_top[None, :], 0), axis=1)
@@ -778,8 +783,8 @@ def aggregate_windows(state: ExpiryState, windows: ExpiryWindows,
     total = state.total_seen + slot_has.astype(jnp.int32)
     active = state.active
 
-    # windows consumed by a merge
-    consumed = win_has & jnp.any(assign, axis=0)
+    # windows consumed by a merge (only the per-slot picked ones)
+    consumed = jnp.any(assign, axis=0)
     remaining = new_valid & ~consumed
 
     # decay + forget

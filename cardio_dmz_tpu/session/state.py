@@ -165,6 +165,10 @@ def scanner_add_frame(params, state: ScannerState, y,
         frame = frame._replace(usable=frame.usable & frame_gate)
 
     record = ~frame.upside_down
+    if frame_gate is not None:
+        # the reference host app never calls scanner_add_frame for frames
+        # where detection failed — don't record them in analytics either
+        record = record & frame_gate
     state = state._replace(
         analytics=analytics_record_frame(state.analytics, frame, record))
 

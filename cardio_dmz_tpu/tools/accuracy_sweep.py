@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(_REPO_ROOT, "tests"))
 
 
 def render_sessions(rng, n_sessions, frames_per_session):
-    import synthetic
+    from cardio_dmz_tpu import synthetic
 
     frames = np.zeros((n_sessions, frames_per_session, 270, 428), np.uint8)
     pans = []

@@ -33,7 +33,7 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    import synthetic
+    from cardio_dmz_tpu import synthetic
     from cardio_dmz_tpu import refbridge
     from cardio_dmz_tpu.models.weights import load_all_params
     from cardio_dmz_tpu.models import zoo
@@ -182,6 +182,7 @@ def main():
         c["cam_found_agree"] += int(bool(corners.found_all) == ok_ref)
         if not (ok_ref and bool(corners.found_all)):
             continue
+        c["cam_both_found"] += 1   # denominator for corner/warp metrics
         ours_c = np.stack([np.asarray(corners.top_left),
                            np.asarray(corners.top_right),
                            np.asarray(corners.bottom_left),
@@ -235,8 +236,8 @@ def main():
         "expiry_ref_accuracy_pct": pct(c["expiry_ref_correct"], c["expiry_sessions"]),
         "camera_frames": c["cam_frames"],
         "camera_found_agreement_pct": pct(c["cam_found_agree"], c["cam_frames"]),
-        "camera_corner_exact_pct": pct(c["cam_corner_agree"], c["cam_found_agree"]),
-        "camera_warp_close_pct": pct(c["cam_warp_close"], c["cam_found_agree"]),
+        "camera_corner_exact_pct": pct(c["cam_corner_agree"], c["cam_both_found"]),
+        "camera_warp_close_pct": pct(c["cam_warp_close"], c["cam_both_found"]),
         "camera_digit_agreement_pct": pct(c["cam_digit_agree"], c["cam_digits"]),
         "camera_digit_agreement_gather_warp_pct": pct(
             c["cam_gather_digit_agree"], c["cam_gather_digits"]),

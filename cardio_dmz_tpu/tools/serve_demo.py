@@ -31,7 +31,7 @@ def main():
 
     import jax
     sys.path.insert(0, os.path.join(_REPO_ROOT, "tests"))
-    import synthetic
+    from cardio_dmz_tpu import synthetic
     from cardio_dmz_tpu.models.weights import load_all_params
     from cardio_dmz_tpu.parallel.mesh import make_mesh
     from cardio_dmz_tpu.parallel.streams import make_sharded_step
