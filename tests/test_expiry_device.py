@@ -168,3 +168,45 @@ def test_device_matches_host_on_fuzzed_frames():
                              int(np.asarray(w.left)[i]),
                              tuple(int(x) for x in np.asarray(w.char_lefts)[i])))
         assert host_set == dev_set, (trial, host_set, dev_set)
+
+
+def test_aggregate_slot_assignment_is_exclusive():
+    """Two new windows matching the SAME slot in one frame: only the first
+    merges into the slot (position/scores must not be summed); the second
+    stays unconsumed and opens a fresh slot — the documented deviation from
+    the reference's in-turn sweep (expiry_categorize.cpp:256-331)."""
+    from cardio_dmz_tpu.scan.expiry_device import (MAX_SLOTS, MAX_WINDOWS,
+                                                   ExpiryState, ExpiryWindows)
+
+    # one active slot at (top=100, left=50)
+    st = expiry_state_init()
+    st = st._replace(
+        active=jnp.asarray([True] + [False] * (MAX_SLOTS - 1)),
+        top=jnp.asarray([100] + [0] * (MAX_SLOTS - 1), jnp.int32),
+        left=jnp.asarray([50] + [0] * (MAX_SLOTS - 1), jnp.int32),
+        scores=jnp.zeros((MAX_SLOTS, 5, 10), jnp.float32).at[0, 0, 3].set(1.0),
+        recently_seen=jnp.asarray([3] + [0] * (MAX_SLOTS - 1), jnp.int32),
+        total_seen=jnp.asarray([3] + [0] * (MAX_SLOTS - 1), jnp.int32),
+    )
+    # windows at top-8 and top+8: both within +-8 of the slot but 16 apart,
+    # so within-frame coalescing does NOT merge them
+    valid = jnp.asarray([True, True] + [False] * (MAX_WINDOWS - 2))
+    tops = jnp.asarray([92, 108] + [0] * (MAX_WINDOWS - 2), jnp.int32)
+    lefts = jnp.asarray([50, 50] + [0] * (MAX_WINDOWS - 2), jnp.int32)
+    w = ExpiryWindows(valid=valid, top=tops, left=lefts,
+                      char_tops=jnp.zeros((MAX_WINDOWS, 5), jnp.int32),
+                      char_lefts=jnp.zeros((MAX_WINDOWS, 5), jnp.int32))
+    scores = jnp.zeros((MAX_WINDOWS, 5, 10), jnp.float32)
+    scores = scores.at[0, 0, 1].set(1.0).at[1, 0, 2].set(1.0)
+
+    st2 = jax.jit(aggregate_windows)(st, w, scores)
+    # slot 0 merged ONLY window 0: its top is EWMA'd toward 92, not 92+108
+    assert int(st2.top[0]) == 92
+    assert int(st2.left[0]) == 50
+    # scores: decay*old + (1-decay)*window0 — window 1's digit-2 mass must
+    # NOT appear in slot 0
+    assert float(st2.scores[0, 0, 2]) == 0.0
+    assert float(st2.scores[0, 0, 1]) > 0.0
+    # window 1 opened a fresh slot at its own position
+    fresh = np.asarray(st2.active) & (np.asarray(st2.top) == 108)
+    assert fresh.any()
