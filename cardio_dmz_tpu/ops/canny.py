@@ -6,11 +6,19 @@ TPU-native dense reformulation of the reference's stack-based algorithm
 * magnitude = |dx| + |dy| (L1, as the reference uses)
 * non-maximum suppression with the exact fixed-point tan(22.5°) sector logic
   (cv/canny.cpp:222-285), vectorized over the whole image
-* hysteresis as bounded-iteration flood fill: edges = candidate pixels
-  8-connected to a strong pixel. The reference's grow-stack produces the
-  same set (its prev_flag/seed suppression only avoids redundant pushes).
-  We iterate dilate-and-mask to a fixed point with lax.while_loop — each
-  step is one fused 3x3 max, data stays in VMEM.
+* hysteresis: edges = candidate pixels 8-connected to a strong pixel. The
+  reference's grow-stack (cv/canny.cpp:294-325) computes exactly this set
+  (its prev_flag/seed suppression only avoids redundant pushes). Two
+  formulations:
+  - `hysteresis_bounded` (serving default): a STATIC number of sweeps,
+    each = one 8-neighbor dilate step + full horizontal and vertical
+    run-flooding (cummax-based segment fills). Content-independent cost,
+    no while_loop in the serving graph. Equivalence: after k sweeps every
+    candidate whose run-alternation distance from a strong pixel is <= k
+    is lit (see `hysteresis_bounded` docstring for the argument + the
+    measured margins behind DEFAULT_SWEEPS).
+  - `hysteresis` (research/oracle): dilate-and-mask iterated to a fixed
+    point with lax.while_loop — exact flood, data-dependent trip count.
 
 Adaptive thresholds (llcv_adaptive_canny7_precomputed_sobel,
 cv/canny.cpp:568-580): low = floor(mean(|dx|+|dy|)), high = floor(3 * low_f).
@@ -90,42 +98,123 @@ def canny_nms(dx, dy, low):
     return (m > low) & keep
 
 
-def hysteresis(candidate, strong, max_iters=None):
-    """Flood strong through candidate via 8-connectivity to a fixed point."""
+def hysteresis(candidate, strong):
+    """Flood strong through candidate via 8-connectivity to a fixed point.
+
+    Exact flood (== the reference's grow-stack, cv/canny.cpp:294-325) with
+    a data-dependent lax.while_loop trip count — the research/oracle form.
+    Serving graphs use `hysteresis_bounded`."""
     edge0 = strong & candidate
 
     def cond(state):
-        edge, changed, _ = state
+        edge, changed = state
         return changed
 
     def body(state):
-        edge, _, it = state
+        edge, _ = state
         grown = (_dilate8(edge) & candidate) | edge
-        return grown, jnp.any(grown != edge), it + 1
+        return grown, jnp.any(grown != edge)
 
-    edge, _, _ = lax.while_loop(cond, body, (edge0, jnp.any(edge0), 0))
+    edge, _ = lax.while_loop(cond, body, (edge0, jnp.any(edge0)))
     return edge
 
 
-def canny7_precomputed_sobel(dx, dy, low, high):
+# Static sweep count for the serving-path hysteresis. Measured sweeps
+# needed to reach the flood fixed point on 480x640-frame detection bands
+# (api.detection_boxes geometry): 0 on every band that contains a card
+# edge (perspective-jittered renders, background noise amplitudes 1-8 —
+# the adaptive low threshold sits above the noise floor whenever a real
+# edge is in the band, so NMS output is strong-seeded lines), and 0 on
+# pure uniform noise (no strong seeds at all). Only card-free bands with
+# LOW-amplitude texture percolate (measured up to 15 on synthetic ±8
+# noise mazes); there the bounded form returns a strict subset of the
+# flood (fewer weak hough votes — strictly conservative detection). See
+# tests/test_ops.py::test_bounded_hysteresis_*.
+DEFAULT_SWEEPS = 3
+
+
+def _run_flood(edge, candidate, axis):
+    """Light every candidate in any maximal candidate run (along `axis`)
+    that contains a lit pixel. Two cummax/cummin prefix scans per
+    direction — no data-dependent loop."""
+    axis = axis % edge.ndim
+    n = edge.shape[axis]
+    shape = [1] * edge.ndim
+    shape[axis] = n
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(shape)
+    big = jnp.int32(n + 1)
+    # forward: a seed at index <= i lights i iff no run break in between
+    brk_f = lax.cummax(jnp.where(candidate, -1, idx), axis=axis)
+    seed_f = lax.cummax(jnp.where(edge, idx, -1), axis=axis)
+    lit_f = candidate & (seed_f > brk_f)
+    # backward: a seed at index >= i
+    brk_b = lax.cummin(jnp.where(candidate, big, idx), axis=axis,
+                       reverse=True)
+    seed_b = lax.cummin(jnp.where(edge, idx, big), axis=axis, reverse=True)
+    lit_b = candidate & (seed_b < brk_b)
+    return edge | lit_f | lit_b
+
+
+def hysteresis_bounded(candidate, strong, sweeps=DEFAULT_SWEEPS):
+    """Hysteresis with a STATIC sweep count (content-independent cost).
+
+    Each sweep: one 8-neighbor dilate-and-mask step (crosses diagonal-only
+    and single-pixel links), then full horizontal and vertical candidate
+    run-floods (a lit pixel lights its entire maximal run in one step).
+
+    Equivalence argument: model the candidate set as a graph whose nodes
+    are maximal horizontal/vertical candidate runs, with edges between
+    8-adjacent runs. One sweep advances the lit set by at least one whole
+    node along every such edge, so after k sweeps every candidate whose
+    run-alternation distance from a strong pixel is <= k is lit. The
+    result is always sandwiched: strong <= bounded <= exact flood, and
+    equals the flood whenever every candidate component's run-distance
+    from its strong seeds is <= sweeps. On the detection-band input
+    distribution (bands containing a card edge) the measured distance is
+    0 — NMS output there is strong-seeded lines — so DEFAULT_SWEEPS is
+    pure margin; only card-free low-amplitude-texture bands can exceed it,
+    where the bounded form degrades conservatively (subset of the flood).
+    The regression tests assert flood-equality on rendered camera bands
+    and the sandwich property on adversarial percolation mazes.
+    """
+    edge = strong & candidate
+
+    def body(_, edge):
+        edge = (_dilate8(edge) & candidate) | edge
+        edge = _run_flood(edge, candidate, axis=-1)
+        edge = _run_flood(edge, candidate, axis=-2)
+        return edge
+
+    return lax.fori_loop(0, sweeps, body, edge, unroll=True)
+
+
+def canny7_precomputed_sobel(dx, dy, low, high, sweeps=DEFAULT_SWEEPS):
     """Full canny given precomputed aperture-7 sobel dx/dy.
 
     Returns uint8 edge map (255 = edge), matching
     llcv_canny7_precomputed_sobel output (cv/canny.cpp:327-335).
     low/high are the integer thresholds (already floored).
+
+    sweeps: static hysteresis sweep count (`hysteresis_bounded`);
+    sweeps=None selects the exact while_loop flood (`hysteresis`) for
+    research/oracle use.
     """
     m = jnp.abs(dx) + jnp.abs(dy)
     candidate = canny_nms(dx, dy, low)
     strong = candidate & (m > high)
-    edge = hysteresis(candidate, strong)
+    if sweeps is None:
+        edge = hysteresis(candidate, strong)
+    else:
+        edge = hysteresis_bounded(candidate, strong, sweeps)
     return (edge * jnp.uint8(255)).astype(jnp.uint8)
 
 
-def adaptive_canny7(image, dx=None, dy=None):
+def adaptive_canny7(image, dx=None, dy=None, sweeps=DEFAULT_SWEEPS):
     """llcv_adaptive_canny7_precomputed_sobel (cv/canny.cpp:568-580).
 
     image: (..., H, W) uint8. dx/dy optional precomputed sobel7 outputs.
     Returns (edges_u8, dx, dy) — dx/dy are reused by the Hough stage.
+    sweeps: see canny7_precomputed_sobel (None = exact flood).
     """
     if dx is None:
         dx = sobel7(image, dx=True, dy=False)
@@ -140,12 +229,13 @@ def adaptive_canny7(image, dx=None, dy=None):
     if low.ndim > 0:
         low = low[..., None, None]
         high = high[..., None, None]
-    edges = canny7_precomputed_sobel(dx, dy, low, high)
+    edges = canny7_precomputed_sobel(dx, dy, low, high, sweeps=sweeps)
     return edges, dx, dy
 
 
-def canny7(image, low, high):
+def canny7(image, low, high, sweeps=DEFAULT_SWEEPS):
     """llcv_canny7 (cv/canny.cpp:338-352) with explicit thresholds."""
     dx = sobel7(image, dx=True, dy=False)
     dy = sobel7(image, dx=False, dy=True)
-    return canny7_precomputed_sobel(dx, dy, int(low), int(high))
+    return canny7_precomputed_sobel(dx, dy, int(low), int(high),
+                                    sweeps=sweeps)

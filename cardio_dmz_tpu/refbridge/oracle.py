@@ -264,6 +264,26 @@ class RefOracle:
                                      int(orientation), int(upsample), _ptr(out))
         return out
 
+    def persp_transform(self, src_pts, dst_pts):
+        """llcv_calc_persp_transform (cv/warp.cpp:34-125): the Eigen f32
+        householderQr 8x8 solve. Points (4, 2); returns (3, 3) row-major."""
+        sp = (_f32 * 8)(*np.asarray(src_pts, np.float32).reshape(-1))
+        dp = (_f32 * 8)(*np.asarray(dst_pts, np.float32).reshape(-1))
+        out = (_f32 * 9)()
+        self._lib.ref_persp_transform(sp, dp, out)
+        return np.array(out, dtype=np.float32).reshape(3, 3)
+
+    def warp_perspective(self, image, matrix, out_shape):
+        """cvWarpPerspective INTER_LINEAR + FILL_OUTLIERS with a fixed
+        row-major f32 src->dst matrix (the warp half of llcv_unwarp)."""
+        a = _as_u8(image)
+        m = (_f32 * 9)(*np.asarray(matrix, np.float32).reshape(-1))
+        out_h, out_w = out_shape
+        out = np.zeros((out_h, out_w), dtype=np.uint8)
+        self._lib.ref_warp_perspective(_ptr(a), a.shape[1], a.shape[0], m,
+                                       out_w, out_h, _ptr(out))
+        return out
+
     def focus_score(self, y, use_full_image=False) -> float:
         a = _as_u8(y)
         return float(self._lib.ref_focus_score(_ptr(a), a.shape[1], a.shape[0],

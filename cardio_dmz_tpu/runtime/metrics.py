@@ -54,21 +54,43 @@ class Metrics:
 
     # -------------------------------------------------------------- read
     def snapshot(self):
+        """Namespaced flat view: counters/gauges/timer-derived keys cannot
+        collide (each kind carries its own prefix)."""
         with self._lock:
-            out = dict(self._counters)
-            out.update(self._gauges)
+            out = {f"counter_{k}": v for k, v in self._counters.items()}
+            out.update({f"gauge_{k}": v for k, v in self._gauges.items()})
             for name, (c, t, m) in self._timers.items():
-                out[f"{name}_count"] = c
-                out[f"{name}_seconds_total"] = round(t, 6)
-                out[f"{name}_seconds_max"] = round(m, 6)
+                out[f"timer_{name}_count"] = c
+                out[f"timer_{name}_seconds_total"] = round(t, 6)
+                out[f"timer_{name}_seconds_max"] = round(m, 6)
                 if c:
-                    out[f"{name}_seconds_avg"] = round(t / c, 6)
-            out["uptime_seconds"] = round(time.time() - self.started_at, 3)
+                    out[f"timer_{name}_seconds_avg"] = round(t / c, 6)
+            out["gauge_uptime_seconds"] = round(
+                time.time() - self.started_at, 3)
         return out
 
+    @staticmethod
+    def _format_value(v):
+        """Prometheus sample values are floats; bools map to 0/1 and
+        non-numeric values (None, strings) are dropped by the caller."""
+        if isinstance(v, bool):
+            return "1" if v else "0"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return None
+
     def render_text(self):
-        """Prometheus text exposition."""
+        """Prometheus text exposition (with # TYPE lines; numeric-only)."""
         lines = []
         for k, v in sorted(self.snapshot().items()):
-            lines.append(f"{self.namespace}_{k} {v}")
+            kind, _, rest = k.partition("_")
+            val = self._format_value(v)
+            if val is None:
+                continue
+            name = f"{self.namespace}_{rest}"
+            ptype = ("counter" if kind == "counter"
+                     or rest.endswith(("_count", "_seconds_total"))
+                     else "gauge")
+            lines.append(f"# TYPE {name} {ptype}")
+            lines.append(f"{name} {val}")
         return "\n".join(lines) + "\n"

@@ -127,10 +127,14 @@ def scan_card_image(params, y, collect_card_number=None, scan_expiry=False,
         usable = vseg_usable & ~upside_down
 
     if scan_expiry:
-        # frame.cpp:71-80: expiry seg for usable, right-side-up frames with
-        # room below the PAN row
+        # frame.cpp:71-80: expiry seg runs for right-side-up frames that
+        # passed the VSEG gate and leave room below the PAN row. The
+        # number-score usability check (frame.cpp:65) does NOT gate it —
+        # the reference falls through to the SCAN_EXPIRY block even when
+        # number_score marks the frame unusable (scan.cpp:58 discards such
+        # frames later, but FrameScanResult.expiry_groups is populated).
         room = vseg.y_offset < CARD_HEIGHT - 2 * SMALL_CHARACTER_HEIGHT
-        enabled = usable & ~upside_down & room & expiry_gate
+        enabled = vseg_usable & ~upside_down & room & expiry_gate
         expiry_groups = best_expiry_seg_device(
             params["slash_mlp"], y, vseg.y_offset, enabled)
     else:

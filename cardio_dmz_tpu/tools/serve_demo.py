@@ -102,7 +102,7 @@ def main():
     for t in threads:
         t.join(timeout=2)
     pump.close()
-    print(f"{metrics.snapshot().get('steps', 0)} serving steps, "
+    print(f"{metrics.snapshot().get('counter_steps', 0)} serving steps, "
           f"{len(done)}/{args.streams} streams completed in {args.seconds}s")
     print("--- metrics ---")
     print(metrics.render_text(), end="")

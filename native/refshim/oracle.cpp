@@ -334,6 +334,44 @@ void ref_transform_card(const uint8_t *sample, int w, int h,
   dmz_context_destroy(dmz);
 }
 
+// Homography solve alone (llcv_calc_persp_transform, cv/warp.cpp:34-125):
+// the Eigen f32 householderQr 8x8 path.  Points packed (x0,y0,...,x3,y3);
+// out = row-major 3x3.
+void ref_persp_transform(const float src_pts[8], const float dst_pts[8],
+                         float out[9]) {
+  dmz_point sp[4], dp[4];
+  for (int i = 0; i < 4; i++) {
+    sp[i].x = src_pts[2 * i];
+    sp[i].y = src_pts[2 * i + 1];
+    dp[i].x = dst_pts[2 * i];
+    dp[i].y = dst_pts[2 * i + 1];
+  }
+  llcv_calc_persp_transform(out, 9, true, sp, dp);
+}
+
+// Raw cvWarpPerspective INTER_LINEAR + FILL_OUTLIERS with a given
+// row-major src->dst f32 matrix — the warp half of llcv_unwarp
+// (cv/warp.cpp:158-166) with the matrix held fixed, for isolating
+// interpolation parity from homography parity.
+void ref_warp_perspective(const uint8_t *input, int w, int h,
+                          const float matrix[9], int out_w, int out_h,
+                          uint8_t *out) {
+  IplImage *img = wrap_gray(input, w, h);
+  IplImage *o = cvCreateImage(cvSize(out_w, out_h), IPL_DEPTH_8U, 1);
+  CvMat *m = cvCreateMat(3, 3, CV_32FC1);
+  for (int r = 0; r < 3; r++)
+    for (int c = 0; c < 3; c++)
+      CV_MAT_ELEM(*m, float, r, c) = matrix[3 * r + c];
+  cvWarpPerspective(img, o, m, CV_INTER_LINEAR + CV_WARP_FILL_OUTLIERS,
+                    cvScalarAll(0));
+  for (int r = 0; r < out_h; r++)
+    memcpy(out + (size_t)r * out_w, o->imageData + (size_t)r * o->widthStep,
+           out_w);
+  cvReleaseMat(&m);
+  cvReleaseImage(&o);
+  cvReleaseImage(&img);
+}
+
 float ref_focus_score(const uint8_t *y, int w, int h, int use_full_image) {
   IplImage *img = wrap_gray(y, w, h);
   float s = dmz_focus_score(img, use_full_image != 0);

@@ -99,10 +99,21 @@ def test_serving_metrics_surface():
     with m.time("step"):
         _time.sleep(0.01)
     snap = m.snapshot()
-    assert snap["frames_scanned"] == 128
-    assert snap["streams"] == 64
-    assert snap["step_count"] == 1
-    assert snap["step_seconds_total"] >= 0.01
+    assert snap["counter_frames_scanned"] == 128
+    assert snap["gauge_streams"] == 64
+    assert snap["timer_step_count"] == 1
+    assert snap["timer_step_seconds_total"] >= 0.01
     text = m.render_text()
     assert "cardio_frames_scanned 128" in text
+    assert "# TYPE cardio_frames_scanned counter" in text
     assert "cardio_step_seconds_avg" in text
+    # kind-namespaced keys cannot collide: a gauge named step_count does
+    # not overwrite the timer-derived step_count
+    m.set("step_count", -1)
+    snap = m.snapshot()
+    assert snap["timer_step_count"] == 1 and snap["gauge_step_count"] == -1
+    # non-numeric values are dropped from exposition, bools become 0/1
+    m.set("label", "abc")
+    m.set("ready", True)
+    text = m.render_text()
+    assert "abc" not in text and "cardio_ready 1" in text

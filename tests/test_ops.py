@@ -134,6 +134,72 @@ def test_canny_matches_reference_flood():
     np.testing.assert_array_equal(got, expected)
 
 
+def test_bounded_hysteresis_equals_flood_on_detection_bands():
+    """The serving default (static-sweep hysteresis) must equal the exact
+    flood on the detection-band input distribution: bands cut from a
+    camera frame containing a rendered card edge (plus noisy background).
+    Measured run-distance there is 0; DEFAULT_SWEEPS is pure margin."""
+    import jax.numpy as jnp
+    from cardio_dmz_tpu import api
+    from cardio_dmz_tpu.ops.canny import (
+        canny_nms, hysteresis, hysteresis_bounded)
+    import synthetic
+
+    boxes = api.detection_boxes((480, 640), 3)
+    rng = np.random.RandomState(5)
+    for trial in range(2):
+        card = np.asarray(synthetic.render_frame(
+            synthetic.safe_pan(np.random.default_rng(trial)), seed=trial))
+        y = np.full((480, 640), 50, np.int32) + rng.randint(-4, 5, (480, 640))
+        y[105:105 + 270, 106:106 + 428] = card
+        y = np.clip(y, 0, 255).astype(np.uint8)
+        for x, yy, w, h in boxes.values():
+            band = y[yy:yy + h, x:x + w]
+            dx = np.asarray(ops.sobel7(band, dx=True, dy=False))
+            dy = np.asarray(ops.sobel7(band, dx=False, dy=True))
+            mean = (np.abs(dx).sum() + np.abs(dy).sum()) / band.size
+            low = int(math.floor(mean))
+            high = int(math.floor(3 * mean))
+            m = np.abs(dx) + np.abs(dy)
+            cand = np.asarray(canny_nms(jnp.asarray(dx), jnp.asarray(dy),
+                                        low))
+            strong = cand & (m > high)
+            exact = np.asarray(hysteresis(jnp.asarray(cand),
+                                          jnp.asarray(strong)))
+            got = np.asarray(hysteresis_bounded(jnp.asarray(cand),
+                                                jnp.asarray(strong)))
+            np.testing.assert_array_equal(got, exact)
+
+
+def test_bounded_hysteresis_sandwich_on_percolating_noise():
+    """On adversarial low-amplitude noise mazes (card-free bands) the
+    bounded form may under-reach the flood but must stay sandwiched:
+    (strong & candidate) <= bounded <= flood, monotone in sweep count."""
+    import jax.numpy as jnp
+    from cardio_dmz_tpu.ops.canny import (
+        canny_nms, hysteresis, hysteresis_bounded)
+
+    rng = np.random.RandomState(1)
+    band = np.clip(128 + rng.randint(-8, 9, (54, 536)), 0,
+                   255).astype(np.uint8)
+    dx = np.asarray(ops.sobel7(band, dx=True, dy=False))
+    dy = np.asarray(ops.sobel7(band, dx=False, dy=True))
+    mean = (np.abs(dx).sum() + np.abs(dy).sum()) / band.size
+    low, high = int(math.floor(mean)), int(math.floor(3 * mean))
+    m = np.abs(dx) + np.abs(dy)
+    cand = np.asarray(canny_nms(jnp.asarray(dx), jnp.asarray(dy), low))
+    strong = cand & (m > high)
+    assert strong.any()  # the probe is only meaningful with seeds
+    exact = np.asarray(hysteresis(jnp.asarray(cand), jnp.asarray(strong)))
+    prev = strong & cand
+    for k in (1, 3, 8):
+        got = np.asarray(hysteresis_bounded(jnp.asarray(cand),
+                                            jnp.asarray(strong), sweeps=k))
+        assert (got >= prev).all()       # monotone in sweeps
+        assert (exact | ~got).all()      # subset of the flood
+        prev = got
+
+
 def test_adaptive_canny_runs_and_finds_edge():
     img = _smooth_edges_image(54, 300, line_row=25)
     edges, dx, dy = ops.adaptive_canny7(img)
