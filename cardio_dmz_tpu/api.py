@@ -321,11 +321,15 @@ def transform_card(sample, corner_points: CornerPoints,
 
 def preprocess_frame(y_sample, cb_sample, cr_sample,
                      orientation=ORIENTATION_LANDSCAPE_RIGHT,
-                     warp_dtype=None):
+                     warp_dtype=None, method="exact"):
     """Full camera-frame preprocessing as one jittable graph: detect the
     card's edges across the Y/Cb/Cr planes and rectify the luma plane to
     the 428x270 card image (the reference's per-preview-frame host loop,
     SURVEY.md §3.1-3.2).
+
+    method: rectification variant (ops/warp.unwarp_card) — "exact"
+    (default; bit-exact vs the reference chain) or "dense" (full-float
+    two-pass; optionally bf16 via warp_dtype).
 
     Returns (found: bool scalar, card (270, 428) u8 — zeros when not
     found). jit/vmap-safe: wrap with jax.jit, vmap over a frame batch.
@@ -333,7 +337,7 @@ def preprocess_frame(y_sample, cb_sample, cr_sample,
     _, corners = detect_edges(y_sample, cb_sample, cr_sample, orientation)
     bounds = warp_src_bounds(y_sample.shape, orientation)
     card = transform_card(y_sample, corners, orientation, src_bounds=bounds,
-                          warp_dtype=warp_dtype)
+                          warp_dtype=warp_dtype, method=method)
     card = jnp.where(corners.found_all, card, jnp.zeros_like(card))
     return corners.found_all, card
 

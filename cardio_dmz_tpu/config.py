@@ -30,14 +30,24 @@ class ScanConfig:
     #                                   loses under the vmapped stream batch
     #                                   where XLA's fused jnp path is faster)
     interpret_pallas: bool = False    # pallas interpret mode (CPU testing)
-    warp_bf16: bool = False           # bf16 contractions in the camera warp
-    #                                   — the analogue of the reference's
-    #                                   reduced-precision GL warp
-    #                                   (dmz_use_gles_warp); +-2 gray vs the
-    #                                   f32 cv-faithful path. Measured
-    #                                   throughput-neutral on v5e (the warp
-    #                                   cost is hat-weight generation, not
-    #                                   the contraction), so OFF by default.
+    warp_method: str = "exact"        # camera-path rectification:
+    #                                   "exact" = bit-exact reference chain
+    #                                   (Eigen-f32-QR homography + cv's
+    #                                   double coords + 5-bit fixed-point
+    #                                   bilinear, ops/warp.py
+    #                                   warp_perspective_exact) — serving
+    #                                   default since round 3;
+    #                                   "dense" = two-pass full-float warp
+    #                                   (better-than-reference interp,
+    #                                   not bit-parity)
+    warp_bf16: bool = False           # bf16 contractions in the "dense"
+    #                                   camera warp — the analogue of the
+    #                                   reference's reduced-precision GL
+    #                                   warp (dmz_use_gles_warp); +-2 gray
+    #                                   vs the f32 cv-faithful path.
+    #                                   Measured throughput-neutral on v5e
+    #                                   (that warp is hat-weight-generation
+    #                                   bound), so OFF by default.
 
     # serving shape
     n_streams: int = 256              # concurrent camera streams per chip

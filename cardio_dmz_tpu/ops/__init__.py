@@ -15,5 +15,7 @@ from .sobel import (  # noqa: F401
 from .stats import stddev_of_abs, equalize_hist, brightness_mean  # noqa: F401
 from .canny import adaptive_canny7, canny7  # noqa: F401
 from .hough import hough_best_line  # noqa: F401
-from .warp import calc_persp_transform, warp_perspective, unwarp_card  # noqa: F401
+from .warp import (calc_persp_transform, warp_perspective,  # noqa: F401
+                   warp_perspective_exact, unwarp_card)
+from .persp import eigen_persp_transform, warp_coord_maps  # noqa: F401
 from .filter import bilateral3x3, median_blur  # noqa: F401

@@ -3,17 +3,26 @@
 The reference solves an 8x8 system for the homography via Eigen householderQr
 (llcv_calc_persp_transform, cv/warp.cpp:34-125) and warps with
 cvWarpPerspective bilinear + fill outliers (:158-166), or a GL shader on
-device GPUs. The TPU serving path uses a closed-form homography and a
-gather-free two-pass dense resample (warp_perspective_dense); the
-per-pixel-gather variant is kept as the cvWarpPerspective-closest oracle.
+device GPUs.
+
+Three TPU formulations:
+* warp_perspective_exact — BIT-EXACT vs the reference chain (emulated
+  Eigen-f32-QR homography + cv's double coords + 5-bit fixed-point
+  bilinear) as gather-free one-hot contractions; the camera serving
+  default since round 3.
+* warp_perspective_dense — two-pass hat-weight resample with full-float
+  interpolation (better-than-reference precision, not bit-parity).
+* warp_perspective — per-pixel gather oracle (f32 coords), test-only.
 """
 
 import math
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..constants import CARD_WIDTH, CARD_HEIGHT
+from .persp import eigen_persp_transform, warp_coord_maps
 
 
 def calc_persp_transform(source_points, dest_points):
@@ -325,6 +334,210 @@ def warp_perspective_dense(image, m_dst_to_src, out_shape, src_bounds=None,
     return out
 
 
+def _band_base(b, rr, jj, slack=12):
+    """Row-band base for the exact gather: for output row r and source
+    column j, the first of the 3 consecutive source rows guaranteed to
+    contain both vertical taps of every pixel in row r whose horizontal
+    taps touch column j.
+
+    y_line(r, j) = source y where row r's preimage line crosses column j
+    (the same Mobius solve as warp_perspective_dense's pass 1); any pixel
+    (r, c) with x0(c) in {j-1, j} has |32*y(r,c) - 32*y_line(r,j)| <=
+    32*slope*1.03 + 1 < slack for |dy/dx| <= (slack-1)/32 ~ tan 19 deg —
+    far beyond detector-reachable card tilt. b: (3, 3) f32 dst->src map of
+    the gather frame; rr/jj broadcastable f32. Returns int32 base rows.
+    """
+    a_r = b[2, 1] * rr + b[2, 2]
+    b_r = b[0, 1] * rr + b[0, 2]
+    den_c = b[0, 0] - jj * b[2, 0]
+    c_rj = (jj * a_r - b_r) / jnp.where(den_c == 0, 1e-20, den_c)
+    den_y = b[2, 0] * c_rj + a_r
+    y_rj = (b[1, 0] * c_rj + b[1, 1] * rr + b[1, 2]) / \
+        jnp.where(den_y == 0, 1e-20, den_y)
+    q = jnp.round(y_rj * 32.0).astype(jnp.int32)
+    return (q - slack) >> 5
+
+
+def warp_perspective_exact(image, m_src_to_dst, out_shape,
+                           src_bounds=None, transpose=False,
+                           row_block=16, row_win=192,
+                           col_block=64, col_win=256, tilt=0.095):
+    """cvWarpPerspective INTER_LINEAR + FILL_OUTLIERS, reproduced EXACTLY
+    (bit-for-bit vs the compiled reference) as dense TPU contractions.
+
+    The reference's per-pixel random access (cv/warp.cpp:165 ->
+    cvWarpPerspective) is TPU poison; this reformulates it as three
+    gather-free stages, none with data-dependent shapes:
+
+      coords   per-pixel quantized source positions (X, Y) in 1/32 px,
+               emulating cv's double math in double-float (ops/persp.py);
+      rows     a 3-row source band per (dst row, source column) — enough
+               to cover both vertical taps of every pixel touching that
+               column (see _band_base) — gathered by one-hot contractions
+               over static per-row-block windows (the same corner-bound
+               windows as warp_perspective_dense);
+      columns  per-pixel horizontal taps x0/x0+1 fetched from the banded
+               rows by a two-level factored one-hot over static per-col-
+               block windows (MXU matmuls; the one-hots are the only VPU
+               work that scales with window size);
+
+    then an integer bilinear combine: weights (32-ax)(32-ay)*32 etc. and
+    (acc + 2^14) >> 15 with u8 saturation — OpenCV's exact scheme (the
+    BilinearTab entries are these integers, INTER_BITS=5).
+
+    image: (H, W) u8. m_src_to_dst: (3, 3) f32 forward homography
+    (eigen_persp_transform). src_bounds/transpose: as in
+    warp_perspective_dense. Samples outside the static windows read as 0;
+    the windows cover every detector-reachable quad (api.warp_src_bounds).
+    """
+    import jax as _jax
+    # one-hots and u8 pixel values are exact in bf16 and single-nonzero
+    # sums accumulate in f32 -> bf16 contractions are bit-safe; CPU XLA
+    # lacks the bf16 dot, so tests fall back to f32 (same results)
+    odt = jnp.bfloat16 if _jax.default_backend() == "tpu" else jnp.float32
+    out_h, out_w = out_shape
+    xq, yq, minv = warp_coord_maps(m_src_to_dst, out_shape)
+    if transpose:
+        image = jnp.swapaxes(image, -1, -2)
+        xq, yq = yq, xq
+        minv = minv[jnp.array([1, 0, 2])]
+    in_h, in_w = image.shape[-2], image.shape[-1]
+
+    x0 = xq >> 5
+    ax = (xq & 31).astype(jnp.int32)
+    y0 = yq >> 5
+    ay = (yq & 31).astype(jnp.int32)
+
+    row_starts = col_starts = None
+    if src_bounds is not None:
+        (ytl, ybl, xtl, xtr) = src_bounds
+        pad_r = int(math.ceil(tilt * in_w / 2))
+        row_starts, ok_r = _block_starts(ytl[0], ytl[1], ybl[0], ybl[1],
+                                         out_h, in_h, row_block, row_win,
+                                         pad_r)
+        pad_c = int(math.ceil(tilt * in_h / 2))
+        col_starts, ok_c = _block_starts(xtl[0], xtl[1], xtr[0], xtr[1],
+                                         out_w, in_w, col_block, col_win,
+                                         pad_c)
+        if not ok_r:
+            row_starts = None
+        if not ok_c:
+            col_starts = None
+    if row_starts is None:
+        row_win = in_h
+        row_starts = [0] * (-(-out_h // row_block))
+    if col_starts is None:
+        col_win = 1 << (in_w - 1).bit_length()
+        col_starts = [0] * (-(-out_w // col_block))
+
+    imgf = image.astype(odt)
+    jj = jnp.arange(in_w, dtype=jnp.float32)[None, :]
+
+    # ---- stage "rows": G[r, j, m] = image[band(r, j) + m, j], m in 0..2
+    # two-level: a 16-quantized coarse window start per column, then an
+    # exact one-hot over the D-row fine window. D covers the band's spread
+    # across the row block (row_block * dy/dr <= ~21 for card-scale maps)
+    # + the 16-row quantization + the 3-row band; out-of-window taps read 0.
+    stride = 16
+    D = 48
+    n_hi = max((row_win - D) // stride + 1, 1)
+    hi_idx = jnp.arange(n_hi, dtype=jnp.int32)
+    d_idx = jnp.arange(D, dtype=jnp.int32)
+    g_parts = []
+    for bidx, s in enumerate(row_starts):
+        r0 = bidx * row_block
+        rb = min(row_block, out_h - r0)
+        rr = jnp.arange(r0, r0 + rb, dtype=jnp.float32)[:, None]
+        yb = _band_base(minv, rr, jj)                     # (rb, W) int32
+        bb = jnp.min(yb, axis=0)                          # (W,)
+        d0q = jnp.clip((bb - s) // stride, 0, n_hi - 1)   # (W,)
+        oh_hi = (d0q[:, None] == hi_idx[None, :]).astype(odt)
+        win = lax.slice(imgf, (s, 0), (s + row_win, in_w))
+        win = jnp.pad(win, ((0, D + 2), (0, 0)))
+        # winb[h, d, j] = win[stride*h + d, j]
+        winb = jnp.stack(
+            [lax.slice(win, (stride * h, 0), (stride * h + D + 2, in_w))
+             for h in range(n_hi)])                       # (n_hi, D+2, W)
+        w2 = jnp.einsum("jh,hdj->jd", oh_hi, winb,
+                        preferred_element_type=jnp.float32)  # (W, D+2)
+        rel = yb - (s + d0q * stride)[None, :]            # (rb, W)
+        oh_d = (rel[:, :, None] == d_idx[None, None, :]).astype(odt)
+        w2s = jnp.stack([w2[:, m:m + D] for m in range(3)], axis=-1)
+        w2s = w2s.astype(odt)                             # (W, D, 3)
+        g3 = jnp.einsum("rjd,jdm->rjm", oh_d, w2s,
+                        preferred_element_type=jnp.float32)
+        # 4th channel: the band base itself (window-relative, so it stays
+        # bf16-exact <= 256). The assembly MUST see the same base the
+        # values were gathered at — recomputing _band_base per pixel is
+        # not bit-stable across fusion contexts (FMA contraction), so the
+        # base rides the same gather path as the values.
+        ybrel = (yb - s).astype(jnp.float32)[..., None]   # (rb, W, 1)
+        g_parts.append(jnp.concatenate([g3, ybrel], axis=-1))
+    g = jnp.concatenate(g_parts, axis=0)                  # (out_h, W, 4)
+
+    # ---- stage "columns": v[r, c, t, m] = G[r, x0+t, m] + band base rows
+    # pair-stack the tap columns, then two-level one-hot per col block
+    gp = jnp.concatenate(
+        [g, jnp.concatenate([g[:, 1:, :], jnp.zeros_like(g[:, :1, :])],
+                            axis=1)], axis=-1)            # (out_h, W, 8)
+    if col_win > in_w:
+        gp = jnp.pad(gp, ((0, 0), (0, col_win - in_w), (0, 0)))
+    gp = gp.astype(odt)
+    n_lo = 16
+    n_hi_c = col_win // n_lo
+    lo_idx = jnp.arange(n_lo, dtype=jnp.int32)
+    hi_c = jnp.arange(n_hi_c, dtype=jnp.int32)
+    out_parts = []
+    for bidx, s in enumerate(col_starts):
+        c0 = bidx * col_block
+        cb = min(col_block, out_w - c0)
+        idx = x0[:, c0:c0 + cb] - s                       # (out_h, cb)
+        valid = (idx >= 0) & (idx < col_win)
+        oh_lo = ((idx & (n_lo - 1))[:, :, None] == lo_idx[None, None, :])
+        oh_lo = (oh_lo & valid[:, :, None]).astype(odt)
+        oh_hi = ((idx >> 4)[:, :, None] == hi_c[None, None, :]).astype(
+            jnp.float32)
+        gw = gp[:, s:s + col_win, :].reshape(out_h, n_hi_c, n_lo, 8)
+        t1 = jnp.einsum("rcl,rhlv->rchv", oh_lo, gw,
+                        preferred_element_type=jnp.float32)
+        v = jnp.einsum("rch,rchv->rcv", oh_hi, t1)
+        out_parts.append(v)
+    v8 = jnp.concatenate(out_parts, axis=1)               # (out_h, out_w, 8)
+
+    # ---- assembly: select band offsets, mask borders, integer bilinear
+    vi = jnp.round(v8).astype(jnp.int32)                  # exact ints
+    srow = jnp.asarray(np.repeat(np.asarray(row_starts, np.int32),
+                                 row_block)[:out_h])[:, None]
+    yb0 = vi[..., 3] + srow
+    yb1 = vi[..., 7] + srow
+    m0 = jnp.clip(y0 - yb0, 0, 1)
+    m1 = jnp.clip(y0 - yb1, 0, 1)
+
+    def pick(t, m):
+        base = vi[..., 4 * t:4 * t + 3]
+        return jnp.where(m[..., None] == jnp.arange(3)[None, None, :],
+                         base, 0).sum(-1)
+
+    i00 = pick(0, m0)
+    i10 = pick(0, m0 + 1)
+    i01 = pick(1, m1)
+    i11 = pick(1, m1 + 1)
+    vx0 = (x0 >= 0) & (x0 < in_w)
+    vx1 = (x0 + 1 >= 0) & (x0 + 1 < in_w)
+    vy0 = (y0 >= 0) & (y0 < in_h)
+    vy1 = (y0 + 1 >= 0) & (y0 + 1 < in_h)
+    i00 = jnp.where(vx0 & vy0, i00, 0)
+    i10 = jnp.where(vx0 & vy1, i10, 0)
+    i01 = jnp.where(vx1 & vy0, i01, 0)
+    i11 = jnp.where(vx1 & vy1, i11, 0)
+    acc = (i00 * ((32 - ax) * (32 - ay) * 32)
+           + i01 * (ax * (32 - ay) * 32)
+           + i10 * ((32 - ax) * ay * 32)
+           + i11 * (ax * ay * 32))
+    out = jnp.clip((acc + (1 << 14)) >> 15, 0, 255)
+    return out.astype(jnp.uint8)
+
+
 def unwarp_card(image, source_points, out_shape=(CARD_HEIGHT, CARD_WIDTH),
                 method="dense", src_bounds=None, transpose=False,
                 compute_dtype=None):
@@ -332,11 +545,15 @@ def unwarp_card(image, source_points, out_shape=(CARD_HEIGHT, CARD_WIDTH),
     (tl, tr, bl, br order per dmz_rect_get_points) to a 428x270 card.
 
     The destination rect is (0, 0, W-1, H-1) (dmz.cpp:484).
-    method="dense" (default): gather-free two-pass warp with a closed-form
-    homography — the TPU serving path. method="gather": per-pixel bilinear
-    gather through the 8x8-solve homography — bit-closest to
-    cvWarpPerspective, kept as the oracle for parity tests (it is ~40x
-    slower on TPU).
+    method="exact" (the camera serving path): bit-exact reproduction of
+    the reference chain — Eigen-f32-QR homography + cvWarpPerspective's
+    double coords and 5-bit fixed-point bilinear — as dense contractions
+    (warp_perspective_exact). method="dense": gather-free two-pass warp
+    with a closed-form homography and full-float interpolation (kept for
+    float-precision serving and as the fast non-parity path).
+    method="gather": per-pixel bilinear gather through an 8x8-solve
+    homography — the cvWarpPerspective-closest ORACLE form before round 3
+    (f32 coords; ~40x slower on TPU; superseded by "exact" for parity).
 
     transpose=True: swap the source's axes first. The two-pass dense warp
     decomposes along the image axes, which DEGENERATES when the quad is
@@ -357,5 +574,10 @@ def unwarp_card(image, source_points, out_shape=(CARD_HEIGHT, CARD_WIDTH),
     dest_points = jnp.asarray(
         [[0.0, 0.0], [out_w - 1.0, 0.0], [0.0, out_h - 1.0],
          [out_w - 1.0, out_h - 1.0]], jnp.float32)
+    if method == "exact":
+        h_matrix = eigen_persp_transform(source_points, dest_points)
+        return warp_perspective_exact(image, h_matrix, out_shape,
+                                      src_bounds=src_bounds,
+                                      transpose=transpose)
     h_matrix = calc_persp_transform(source_points, dest_points)
     return warp_perspective(image, h_matrix, out_shape)

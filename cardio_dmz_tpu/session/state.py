@@ -311,10 +311,11 @@ def camera_scanner_step(params, state: ScannerState, y, cb, cr,
     if orientation is None:
         orientation = ORIENTATION_LANDSCAPE_RIGHT
     warp_dtype = None
-    if config is not None and config.warp_bf16:
+    method = "exact" if config is None else config.warp_method
+    if config is not None and config.warp_bf16 and method == "dense":
         warp_dtype = jnp.bfloat16
     found, card = preprocess_frame(y, cb, cr, orientation,
-                                   warp_dtype=warp_dtype)
+                                   warp_dtype=warp_dtype, method=method)
     telemetry = FrameTelemetry(
         focus_score=focus_score(y),
         brightness_score=brightness_score(y),

@@ -41,7 +41,15 @@ def test_camera_matches_direct_scan():
     warp reduces to an integer translation (the gradient peak may sit a
     pixel or two outside the card — the compiled reference detects the
     same corners), so the segmentation may shift by that constant but the
-    digit reads must be identical."""
+    digit reads must be identical.
+
+    Pinned to the full-float "dense" warp: this test probes the FUSION
+    plumbing, and its digit-identity premise needs interpolation that does
+    not degrade the marginal synthetic glyphs. The serving-default "exact"
+    warp reproduces the reference's lossier 5-bit fixed point bit-for-bit
+    and is gated directly against the compiled reference in
+    test_cpp_parity.py instead."""
+    from cardio_dmz_tpu.config import ScanConfig
     from cardio_dmz_tpu.scan import scan_card_image
     params = load_all_params()
     pan = safe_pan(np.random.RandomState(3))
@@ -50,9 +58,11 @@ def test_camera_matches_direct_scan():
     card = render_frame(pan, seed=42, noise=0, width=19.0, offset=32)
     y, cb, cr = embed_card_in_preview(card, noise=0)
 
+    cfg = ScanConfig(warp_method="dense")
     state = scanner_reset()
     state, (found, frame, _) = jax.jit(
-        lambda s, a, b, c: camera_scanner_step(params, s, a, b, c))(
+        lambda s, a, b, c: camera_scanner_step(params, s, a, b, c,
+                                               config=cfg))(
             state, y, cb, cr)
     direct = jax.jit(lambda im: scan_card_image(params, im))(card)
 
@@ -85,18 +95,16 @@ def test_camera_session_reads_pan():
 
     state = scanner_reset()
     result = None
-    for i in range(10):
+    for i in range(25):
         # noise-free frame keeps the detected edges an integer translation
-        # of the guide rect, so the warp is lossless (camera path == direct
-        # scan up to a 1-px shift the vseg/hseg stages absorb); renderer
-        # robustness under noise is covered by the accuracy sweeps in
-        # test_scan.py.
-        # width 19.0: the warp's faithful 428->427 resample (the reference
-        # maps the detected quad onto a w-1 x h-1 dest rect, dmz.cpp:483)
-        # sub-pixel-blurs glyphs; the synthetic font needs the full cell
-        # pitch to stay readable through it.
-        card = render_frame(pan, seed=i, noise=0, y0=150, width=19.0,
-                            offset=35)
+        # of the guide rect (renderer robustness under noise is covered by
+        # the accuracy sweeps in test_scan.py). Geometry 18.5/30 chosen so
+        # the COMPILED REFERENCE completes this session too (frame 19, same
+        # read) — the serving-default "exact" warp reproduces its 5-bit
+        # fixed-point interpolation bit-for-bit, so this also pins
+        # session-level behavioral parity.
+        card = render_frame(pan, seed=i, noise=0, y0=150, width=18.5,
+                            offset=30)
         y, cb, cr = embed_card_in_preview(card, noise=0)
         state, (found, frame, result) = step(state, y, cb, cr)
         assert bool(found), f"card not found on frame {i}"

@@ -154,6 +154,124 @@ def test_focus_brightness_parity():
     assert ours_b == pytest.approx(ref_b, rel=1e-4)
 
 
+def test_persp_transform_bit_exact_parity():
+    """llcv_calc_persp_transform (Eigen f32 householderQr, cv/warp.cpp:
+    34-125) vs (a) the numpy twin and (b) the in-graph emulation routed
+    through it on CPU — BIT-exact over randomized detector-realistic
+    corner sets. The 8x8 system's conditioning amplifies any 1-ulp
+    sequence deviation to ~1e3 ulp, so equality here is a strong gate."""
+    import jax
+    import jax.numpy as jnp
+    from cardio_dmz_tpu.ops import persp_host
+    from cardio_dmz_tpu.ops.persp import eigen_persp_transform
+
+    rng = np.random.default_rng(42)
+    dst = np.float32([[0, 0], [427, 0], [0, 269], [427, 269]])
+    jept = jax.jit(lambda sp: eigen_persp_transform(sp, jnp.asarray(dst)))
+    for t in range(50):
+        src = (np.float32([[106, 105], [534, 105], [106, 375], [534, 375]])
+               + rng.uniform(-25, 25, (4, 2)).astype(np.float32))
+        ref = _oracle().persp_transform(src, dst)
+        host = persp_host.persp_transform(src, dst)
+        np.testing.assert_array_equal(ref.view(np.uint32),
+                                      host.view(np.uint32))
+        ing = np.asarray(jept(src))
+        np.testing.assert_array_equal(ref.view(np.uint32),
+                                      ing.view(np.uint32))
+
+
+def test_warp_exact_pixel_parity():
+    """warp_perspective_exact == cvWarpPerspective BIT-FOR-BIT: the whole
+    rectification chain (homography + double coords + 5-bit fixed-point
+    bilinear) on random noise images (worst case: every quantization flip
+    would change the output), windowed and unwindowed."""
+    import jax
+    from cardio_dmz_tpu import api
+    from cardio_dmz_tpu.ops.warp import unwarp_card
+
+    rng = np.random.default_rng(7)
+    bounds = api.warp_src_bounds((480, 640), 3)
+    dst = np.float32([[0, 0], [427, 0], [0, 269], [427, 269]])
+    uw = jax.jit(lambda im, sp: unwarp_card(im, sp, method="exact",
+                                            src_bounds=bounds))
+    uw_nb = jax.jit(lambda im, sp: unwarp_card(im, sp, method="exact"))
+    for t in range(4):
+        src = (np.float32([[106, 105], [534, 105], [106, 375], [534, 375]])
+               + rng.uniform(-12, 12, (4, 2)).astype(np.float32))
+        img = rng.integers(0, 256, (480, 640)).astype(np.uint8)
+        m = _oracle().persp_transform(src, dst)
+        ref = _oracle().warp_perspective(img, m, (270, 428))
+        np.testing.assert_array_equal(np.asarray(uw(img, src)), ref)
+        if t < 2:
+            np.testing.assert_array_equal(np.asarray(uw_nb(img, src)), ref)
+
+
+def test_canny7_kernel_parity():
+    """Direct adaptive-canny7 A/B vs the compiled reference
+    (llcv_adaptive_canny7_precomputed_sobel, cv/canny.cpp:568-580) on
+    detection-band-like content — exact-flood hysteresis for kernel
+    parity; the serving default's bounded form is separately gated
+    (tests/test_ops.py)."""
+    from cardio_dmz_tpu.ops.canny import adaptive_canny7
+
+    rng = np.random.default_rng(5)
+    card = np.asarray(synthetic.render_frame(
+        synthetic.safe_pan(rng), seed=3))
+    y = np.full((480, 640), 50, np.int32) + rng.integers(-4, 5, (480, 640))
+    y[105:105 + 270, 106:106 + 428] = card
+    y = np.clip(y, 0, 255).astype(np.uint8)
+    from cardio_dmz_tpu import api
+    boxes = api.detection_boxes((480, 640), 3)
+    for x, yy, w, h in boxes.values():
+        band = y[yy:yy + h, x:x + w]
+        ref = _oracle().canny7(band)
+        got, _, _ = adaptive_canny7(band, sweeps=None)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+        # and the serving bounded form agrees on this input distribution
+        got_b, _, _ = adaptive_canny7(band)
+        np.testing.assert_array_equal(np.asarray(got_b), ref)
+
+
+def test_hough_kernel_parity():
+    """Direct gradient-gated-hough A/B vs the compiled reference
+    (llcv_hough, cv/hough.cpp:52-195), fed the reference's own canny/sobel
+    planes so the gate isolates the vote/argmax machinery."""
+    import math as _math
+    from cardio_dmz_tpu.ops import hough_best_line, sobel7
+
+    rng = np.random.default_rng(9)
+    card = np.asarray(synthetic.render_frame(
+        synthetic.safe_pan(rng), seed=4))
+    y = np.full((480, 640), 50, np.int32) + rng.integers(-3, 4, (480, 640))
+    y[105:105 + 270, 106:106 + 428] = card
+    y = np.clip(y, 0, 255).astype(np.uint8)
+    from cardio_dmz_tpu import api
+    boxes = api.detection_boxes((480, 640), 3)
+    for name, (x, yy, w, h) in boxes.items():
+        band = y[yy:yy + h, x:x + w]
+        vertical = name in ("left", "right")
+        dx = _oracle().sobel7(band, True)
+        dy = _oracle().sobel7(band, False)
+        edges = _oracle().canny7(band)
+        base = _math.pi if vertical else _math.pi / 2
+        kwargs = dict(rho_res=1.0, theta_res=_math.pi / 180,
+                      threshold=max(w, h) // 6,
+                      theta_min=base - 5 * _math.pi / 180,
+                      theta_max=base + 5 * _math.pi / 180,
+                      vertical=vertical, gradient_angle_threshold=10.0)
+        ref_rho, ref_theta, ref_null = _oracle().hough(edges, dx, dy,
+                                                       **kwargs)
+        is_null, rho, theta = hough_best_line(
+            edges, dx.astype(np.int32), dy.astype(np.int32),
+            rho=1.0, theta=_math.pi / 180, threshold=max(w, h) // 6,
+            theta_min=kwargs["theta_min"], theta_max=kwargs["theta_max"],
+            vertical=vertical, gradient_angle_threshold=10.0)
+        assert bool(is_null) == ref_null
+        if not ref_null:
+            assert float(rho) == pytest.approx(ref_rho, abs=1e-4)
+            assert float(theta) == pytest.approx(ref_theta, abs=1e-6)
+
+
 # ----------------------------------------------------------- frame stages
 
 
