@@ -42,6 +42,7 @@ from .constants import (
 )
 from .ops import (
     adaptive_canny7,
+    canny7_precomputed_sobel,
     hough_best_line,
     sobel3_dx_dy,
     sobel7,
@@ -177,17 +178,111 @@ def _best_line_for_band(band, vertical):
     )
 
 
-def _find_edge(samples, boxes, edge_name, vertical, rho_multipliers):
+_EDGE_SPECS = (("top", False), ("bottom", False),
+               ("left", True), ("right", True))
+
+
+_BAND_GAP = 2   # zero rows/cols between packed bands; NMS neighbor reads
+                # reach 1 px and the dilate step is candidate-masked, so a
+                # 2-px non-candidate moat makes bands fully independent
+
+
+def _band_lines_batched(samples, boxes):
+    """All 12 detection-band lines (4 edges x 3 planes) with the canny
+    stage batched into TWO packed invocations instead of twelve.
+
+    Per-band sobel first (replicate borders need each band alone,
+    ops/sobel.py), then the dx/dy maps are packed into one tight 2-D
+    canvas per band orientation — horizontal bands stacked vertically,
+    vertical bands side by side — separated by `_BAND_GAP` zero-gradient
+    moats, and canny runs ONCE per canvas. Exactness vs the per-band
+    form: zero dx/dy outside a band reproduces the reference's zero
+    border for NMS neighbor reads (cv/canny.cpp:222-285 reads 0 outside),
+    moat pixels can never become candidates (m = 0 fails m > low, low >=
+    0), and neither the candidate-masked dilate nor the run floods can
+    cross a 2-px non-candidate moat, so each band's edge map equals its
+    standalone one (tests/test_api.py asserts this). The hysteresis sweep
+    machinery's op count is paid twice per frame instead of twelve times.
+    Hough stays per band (band-shaped rho geometry). Returns
+    {edge_name: [(is_null, rho, theta, x, y), ...]} in plane order."""
+    specs = []   # (plane, name, x, y, w, h, vertical)
+    for p, box_set in enumerate(boxes):
+        for name, vertical in _EDGE_SPECS:
+            x, y, w, h = box_set[name]
+            specs.append((p, name, x, y, w, h, vertical))
+
+    grads = {}
+    for p, name, x, y, w, h, vertical in specs:
+        band = samples[p][y:y + h, x:x + w]
+        grads[(p, name)] = (sobel7(band, dx=True, dy=False),
+                            sobel7(band, dx=False, dy=True))
+
+    edges_by_band = {}
+    for vertical in (False, True):
+        group = [s for s in specs if s[6] == vertical]
+        # pack along the band's long axis' perpendicular: horizontal bands
+        # stack on rows (common width), vertical bands on columns
+        cat_axis = -2 if not vertical else -1
+        pad_axis = -1 if not vertical else -2
+        full = max(s[5] if vertical else s[4] for s in group)
+
+        dxs, dys, lows, highs, offs = [], [], [], [], []
+        pos = 0
+        for p, name, x, y, w, h, _ in group:
+            dx, dy = grads[(p, name)]
+            # reference adaptive thresholds per band
+            # (llcv_adaptive_canny7_precomputed_sobel, cv/canny.cpp:568-580)
+            mean = (jnp.sum(jnp.abs(dx)) + jnp.sum(jnp.abs(dy))
+                    ).astype(jnp.float32) / (h * w)
+            low = jnp.floor(mean).astype(jnp.int32)
+            high = jnp.floor(3.0 * mean).astype(jnp.int32)
+
+            pad = [(0, 0), (0, 0)]
+            pad[pad_axis] = (0, full - (h if vertical else w))
+            pad[cat_axis] = (0, _BAND_GAP)
+            for acc, a in ((dxs, dx), (dys, dy),
+                           (lows, jnp.broadcast_to(low, dx.shape)),
+                           (highs, jnp.broadcast_to(high, dx.shape))):
+                acc.append(jnp.pad(a, pad))
+            offs.append(pos)
+            pos += (h if not vertical else w) + _BAND_GAP
+
+        canvas = canny7_precomputed_sobel(
+            jnp.concatenate(dxs, axis=cat_axis),
+            jnp.concatenate(dys, axis=cat_axis),
+            jnp.concatenate(lows, axis=cat_axis),
+            jnp.concatenate(highs, axis=cat_axis))
+        for off, (p, name, x, y, w, h, _) in zip(offs, group):
+            if vertical:
+                edges_by_band[(p, name)] = canvas[:h, off:off + w]
+            else:
+                edges_by_band[(p, name)] = canvas[off:off + h, :w]
+
+    lines = {name: [] for name, _ in _EDGE_SPECS}
+    for p, name, x, y, w, h, vertical in specs:
+        dx, dy = grads[(p, name)]
+        threshold = max(w, h) // HOUGH_THRESHOLD_LENGTH_DIVISOR
+        base = VERTICAL_ANGLE if vertical else HORIZONTAL_ANGLE
+        is_null, rho, theta = hough_best_line(
+            edges_by_band[(p, name)], dx, dy,
+            rho=1.0, theta=HOUGH_THETA_RES, threshold=threshold,
+            theta_min=base - MAX_ANGLE_DEVIATION,
+            theta_max=base + MAX_ANGLE_DEVIATION,
+            vertical=vertical,
+            gradient_angle_threshold=HOUGH_GRADIENT_ANGLE_THRESHOLD)
+        lines[name].append((is_null, rho, theta, x, y))
+    return lines
+
+
+def _select_edge(plane_lines, rho_multipliers):
     """find_line_in_detection_rects (dmz.cpp:346-369): try Y, Cb, Cr planes;
     first found wins. All three run in parallel on TPU; selection is a
     where-chain in found-priority order."""
     found = jnp.zeros((), bool)
     rho_out = jnp.zeros((), jnp.float32)
     theta_out = jnp.zeros((), jnp.float32)
-    for sample, box_set, mult in zip(samples, boxes, rho_multipliers):
-        x, y, w, h = box_set[edge_name]
-        band = sample[y:y + h, x:x + w]
-        is_null, rho, theta = _best_line_for_band(band, vertical)
+    for (is_null, rho, theta, x, y), mult in zip(plane_lines,
+                                                 rho_multipliers):
         rho, theta = line_by_shifting_origin_jax(rho, theta, x, y)
         rho = rho * mult
         take = ~is_null & ~found
@@ -195,6 +290,19 @@ def _find_edge(samples, boxes, edge_name, vertical, rho_multipliers):
         theta_out = jnp.where(take, theta, theta_out)
         found = found | ~is_null
     return FoundEdge(found=found, rho=rho_out, theta=theta_out)
+
+
+def _find_edge(samples, boxes, edge_name, vertical, rho_multipliers):
+    """Per-band (unbatched-canny) reference form of `_select_edge` over
+    `_best_line_for_band` — kept as the equivalence oracle for the batched
+    path (tests/test_api.py asserts detect_edges == this form)."""
+    plane_lines = []
+    for sample, box_set in zip(samples, boxes):
+        x, y, w, h = box_set[edge_name]
+        band = sample[y:y + h, x:x + w]
+        is_null, rho, theta = _best_line_for_band(band, vertical)
+        plane_lines.append((is_null, rho, theta, x, y))
+    return _select_edge(plane_lines, rho_multipliers)
 
 
 def detect_edges(y_sample, cb_sample, cr_sample,
@@ -209,10 +317,11 @@ def detect_edges(y_sample, cb_sample, cr_sample,
     boxes = [detection_boxes(s.shape, orientation) for s in samples]
     mults = (1.0, 2.0, 2.0)
 
-    top = _find_edge(samples, boxes, "top", False, mults)
-    bottom = _find_edge(samples, boxes, "bottom", False, mults)
-    left = _find_edge(samples, boxes, "left", True, mults)
-    right = _find_edge(samples, boxes, "right", True, mults)
+    lines = _band_lines_batched(samples, boxes)
+    top = _select_edge(lines["top"], mults)
+    bottom = _select_edge(lines["bottom"], mults)
+    left = _select_edge(lines["left"], mults)
+    right = _select_edge(lines["right"], mults)
     edges = CardEdges(top=top, bottom=bottom, left=left, right=right)
 
     def isect(l1, l2):

@@ -13,7 +13,8 @@ from .sobel import (  # noqa: F401
     scharr3_dy_abs,
 )
 from .stats import stddev_of_abs, equalize_hist, brightness_mean  # noqa: F401
-from .canny import adaptive_canny7, canny7  # noqa: F401
+from .canny import (adaptive_canny7, canny7,  # noqa: F401
+                    canny7_precomputed_sobel)
 from .hough import hough_best_line  # noqa: F401
 from .warp import (calc_persp_transform, warp_perspective,  # noqa: F401
                    warp_perspective_exact, unwarp_card)

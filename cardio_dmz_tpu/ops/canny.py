@@ -135,8 +135,24 @@ DEFAULT_SWEEPS = 3
 
 def _run_flood(edge, candidate, axis):
     """Light every candidate in any maximal candidate run (along `axis`)
-    that contains a lit pixel. Two cummax/cummin prefix scans per
-    direction — no data-dependent loop."""
+    that contains a lit pixel. Two exact formulations, picked by backend:
+
+    * TPU: `_run_flood_doubling` — lax.cummax lowers to ~1.4 ms/scan on
+      detection-band shapes there; the doubling form is ~10 cheap i1
+      vector ops per level.
+    * CPU (tests, oracles): `_run_flood_scan` — two prefix scans per
+      direction; the doubling form's unrolled shift chains inflate XLA:CPU
+      compile of every camera graph by minutes, the scans compile fast.
+
+    Both are tested against the same scalar oracle
+    (tests/test_ops.py::test_run_flood_matches_scalar_oracle)."""
+    if jax.default_backend() == "tpu":
+        return _run_flood_doubling(edge, candidate, axis)
+    return _run_flood_scan(edge, candidate, axis)
+
+
+def _run_flood_scan(edge, candidate, axis):
+    """Run flood via cummax/cummin prefix scans (see `_run_flood`)."""
     axis = axis % edge.ndim
     n = edge.shape[axis]
     shape = [1] * edge.ndim
@@ -153,6 +169,42 @@ def _run_flood(edge, candidate, axis):
     seed_b = lax.cummin(jnp.where(edge, idx, big), axis=axis, reverse=True)
     lit_b = candidate & (seed_b < brk_b)
     return edge | lit_f | lit_b
+
+
+def _run_flood_doubling(edge, candidate, axis):
+    """Run flood via log-doubling bool propagation (see `_run_flood`).
+
+    Invariants at level d (a power of two), proved by induction:
+
+      R[i] = all of candidate[i-d+1 .. i]   (run cover ending at i)
+      L[i] = all of candidate[i .. i+d-1]   (run cover starting at i)
+      v[i] = some lit seed at j in [i-d+1, i] with candidate[j..i] all set
+      u[i] = mirror of v toward higher indices
+
+    so v[i] | u[i] converges to "i is in a candidate run containing a
+    seed" after ceil(log2(n)) doublings. Exact (== the reference flood
+    restricted to one axis)."""
+    axis = axis % edge.ndim
+    n = edge.shape[axis]
+
+    def sh(x, s):
+        """out[i] = x[i - s], False fill."""
+        return _shift2d(x, -s if axis == edge.ndim - 2 else 0,
+                        -s if axis == edge.ndim - 1 else 0)
+
+    v = edge
+    u = edge
+    r_cov = candidate
+    l_cov = candidate
+    d = 1
+    while d < n:
+        v = v | (sh(v, d) & r_cov)
+        u = u | (sh(u, -d) & l_cov)
+        if 2 * d < n:
+            r_cov = r_cov & sh(r_cov, d)
+            l_cov = l_cov & sh(l_cov, -d)
+        d *= 2
+    return v | u
 
 
 def hysteresis_bounded(candidate, strong, sweeps=DEFAULT_SWEEPS):

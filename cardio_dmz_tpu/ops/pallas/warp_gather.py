@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: the exact cvWarpPerspective gather.
+
+Device analogue of cvWarpPerspective INTER_LINEAR + FILL_OUTLIERS
+(cv/warp.cpp:158-166) for the camera rectification path: bit-identical
+results to ops/warp.warp_perspective_exact's XLA one-hot form (and hence
+to the compiled reference), but the per-pixel random access runs as real
+Mosaic ``dynamic_gather`` ops instead of one-hot contractions.
+
+Structure (one grid step = one 16-row output block):
+
+  window   the 128 source rows covering the block's 3-row bands are
+           DMA'd as four 32-row-aligned u8 blocks whose indices come from
+           a scalar-prefetched per-block window start (the alignment is
+           the u8 sublane tile; 128 rows cover the worst detector-
+           reachable band spread of ~88 rows + 31 rows of alignment
+           slack — asserted in tests over the corner-bound envelope);
+  rows     stage-1 vertical gather: transpose the window to put source
+           rows in lanes (<=128, one vreg — the Mosaic gather limit) and
+           ``take_along_axis`` the per-(column, output-row) band base
+           rows +0/+1/+2 in one shot (lane index = m*16 + r);
+  columns  stage-2 horizontal gather: transpose back, then for each of
+           the <=5 static 128-lane source slices gather the per-pixel
+           tap columns x0/x0+1 (indices rebased per slice, out-of-slice
+           lanes masked) — the q-decomposition replaces dynamic lane
+           windows, which Mosaic only supports 128-aligned;
+  combine  OpenCV's integer bilinear: weights (32-ax)(32-ay)*32 etc. and
+           (acc + 2^14) >> 15 with u8 saturation (INTER_BITS=5; the
+           BilinearTab entries are exactly these integers).
+
+The quantized coordinate maps (X, Y) and the band bases are computed
+once in XLA (ops/persp.warp_coord_maps / ops/warp._band_base) and passed
+in as int32 — both the stage-1 gather indices and the assembly's
+band-offset selection derive from the SAME array, so the result cannot
+depend on floating-point fusion context.
+
+Serving shape: callers ``jax.vmap`` the single-stream call over the
+stream batch (the scalar-prefetch grid batches cleanly).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_BLOCK = 16      # output rows per grid step
+_WIN = 128           # source window rows (= the Mosaic lane-gather limit)
+_ALIGN = 32          # u8 sublane tile: window starts are 32-row aligned
+_OUT_LANES = 512     # 428 output columns padded to a lane multiple
+
+
+def _pad_to(x, rows=None, cols=None, value=0):
+    pr = 0 if rows is None else rows - x.shape[-2]
+    pc = 0 if cols is None else cols - x.shape[-1]
+    if pr == 0 and pc == 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 2) + [(0, pr), (0, pc)]
+    return jnp.pad(x, cfg, constant_values=value)
+
+
+def _warp_gather_kernel(in_h, in_w, n_q, k_ref, s0, s1, s2, s3,
+                        xq_ref, yq_ref, yb_ref, out_ref):
+    b = pl.program_id(0)
+    kk = k_ref[b]
+
+    # source window (128, Wp): four aligned u8 row blocks
+    win = jnp.concatenate([s0[:, :], s1[:, :], s2[:, :], s3[:, :]], axis=0)
+    winf = win.astype(jnp.int32).astype(jnp.float32)
+
+    # stage 1: vertical band gather. idx lane l = m*16 + r holds
+    # yb[r, j] + m rebased to the window (m in 0..2; lanes 48.. unused).
+    yb16 = yb_ref[:, :]                                  # (16, Wp) i32
+    rel = yb16 - kk * _ALIGN
+    idx_full = jnp.concatenate(
+        [rel + m for m in range(3)] + [jnp.zeros_like(rel)] * 5, axis=0)
+    idx_full = jnp.clip(idx_full, 0, _WIN - 1)           # (128, Wp)
+    bands = jnp.take_along_axis(winf.T, idx_full.T, axis=1,
+                                mode="promise_in_bounds")
+    bt = bands.T                                         # (128, Wp) f32
+
+    xq = xq_ref[:, :]                                    # (16, 512) i32
+    yq = yq_ref[:, :]
+    x0 = xq >> 5
+    ax = xq & 31
+    y0 = yq >> 5
+    ay = yq & 31
+
+    # stage 2: horizontal tap gather via the static q-decomposition
+    ybf = yb16.astype(jnp.float32)
+
+    def fetch(cols):
+        """vals[m][r, c] = band row m's value at source column cols[r, c];
+        base[r, c] = yb[r, cols[r, c]]. cols: (16, 512) i32 (any value;
+        out-of-image taps are masked in the combine)."""
+        chunks = [[] for _ in range(4)]
+        for c4 in range(_OUT_LANES // 128):
+            cc = cols[:, c4 * 128:c4 * 128 + 128]        # (16, 128)
+            acc = [jnp.zeros((16, 128), jnp.float32) for _ in range(4)]
+            for q in range(n_q):
+                rq = cc - q * 128
+                inq = (rq >= 0) & (rq < 128)
+                rqc = jnp.clip(rq, 0, 127)
+                qs = slice(q * 128, q * 128 + 128)
+                for m in range(3):
+                    g = jnp.take_along_axis(bt[m * 16:m * 16 + 16, qs],
+                                            rqc, axis=1,
+                                            mode="promise_in_bounds")
+                    acc[m] = jnp.where(inq, g, acc[m])
+                gb = jnp.take_along_axis(ybf[:, qs], rqc, axis=1,
+                                         mode="promise_in_bounds")
+                acc[3] = jnp.where(inq, gb, acc[3])
+            for i in range(4):
+                chunks[i].append(acc[i])
+        packed = [jnp.concatenate(c, axis=1) for c in chunks]
+        return packed[:3], packed[3]
+
+    v0, yb0 = fetch(x0)
+    v1, yb1 = fetch(x0 + 1)
+
+    # combine: band-offset selection, border masks, integer bilinear —
+    # ops/warp.warp_perspective_exact's assembly stage verbatim
+    def pick(vals, msel):
+        out = jnp.zeros(msel.shape, jnp.int32)
+        for m in range(3):
+            out = jnp.where(msel == m, vals[m].astype(jnp.int32), out)
+        return out
+
+    m0 = jnp.clip(y0 - yb0.astype(jnp.int32), 0, 1)
+    m1 = jnp.clip(y0 - yb1.astype(jnp.int32), 0, 1)
+    vx0 = (x0 >= 0) & (x0 < in_w)
+    vx1 = (x0 + 1 >= 0) & (x0 + 1 < in_w)
+    vy0 = (y0 >= 0) & (y0 < in_h)
+    vy1 = (y0 + 1 >= 0) & (y0 + 1 < in_h)
+    i00 = jnp.where(vx0 & vy0, pick(v0, m0), 0)
+    i10 = jnp.where(vx0 & vy1, pick(v0, m0 + 1), 0)
+    i01 = jnp.where(vx1 & vy0, pick(v1, m1), 0)
+    i11 = jnp.where(vx1 & vy1, pick(v1, m1 + 1), 0)
+
+    acc = (i00 * ((32 - ax) * (32 - ay) * 32)
+           + i01 * (ax * (32 - ay) * 32)
+           + i10 * ((32 - ax) * ay * 32)
+           + i11 * (ax * ay * 32))
+    out_ref[:, :] = jnp.clip((acc + (1 << 14)) >> 15, 0, 255)
+
+
+def warp_gather_exact(image, xq, yq, yb, out_shape, interpret=False):
+    """Exact fixed-point perspective gather as a Pallas kernel.
+
+    image: (H, W) u8 source (H a multiple of 32). xq/yq: (out_h, out_w)
+    int32 1/32-px quantized source coords (ops/persp.warp_coord_maps).
+    yb: (out_h, W) int32 band base rows (ops/warp._band_base: for every
+    output pixel (r, c) with x0(r, c) in {j-1, j}, the vertical taps
+    satisfy y0 in {yb[r, j], yb[r, j]+1}).
+
+    Returns (out_h, out_w) u8 — bit-identical to the XLA one-hot form of
+    warp_perspective_exact for any quad whose band spread fits the 128-row
+    window (every detector-reachable quad; tests assert the envelope).
+    """
+    out_h, out_w = out_shape
+    in_h, in_w = image.shape
+    wp = -(-in_w // 128) * 128
+    n_q = wp // 128
+    n_blocks = -(-out_h // _ROW_BLOCK)
+    hp = n_blocks * _ROW_BLOCK
+
+    img_p = _pad_to(image, None, wp)
+    xq_p = _pad_to(xq, hp, _OUT_LANES)
+    yq_p = _pad_to(yq, hp, _OUT_LANES)
+    # pad yb with a huge value so block minima ignore the pad rows; pad
+    # columns likewise (those lanes are gathered only for masked taps)
+    yb_p = _pad_to(yb, hp, wp, value=10 ** 6)
+
+    # per-block aligned window starts (units of 32 source rows)
+    yb_blocks = yb_p.reshape(n_blocks, _ROW_BLOCK, wp)
+    k = jnp.min(yb_blocks, axis=(1, 2)) // _ALIGN
+    k = jnp.clip(k, 0, in_h // _ALIGN - _WIN // _ALIGN).astype(jnp.int32)
+
+    kernel = functools.partial(_warp_gather_kernel, in_h, in_w, n_q)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((_ALIGN, wp), lambda b, sp: (sp[b] + 0, 0)),
+            pl.BlockSpec((_ALIGN, wp), lambda b, sp: (sp[b] + 1, 0)),
+            pl.BlockSpec((_ALIGN, wp), lambda b, sp: (sp[b] + 2, 0)),
+            pl.BlockSpec((_ALIGN, wp), lambda b, sp: (sp[b] + 3, 0)),
+            pl.BlockSpec((_ROW_BLOCK, _OUT_LANES), lambda b, sp: (b, 0)),
+            pl.BlockSpec((_ROW_BLOCK, _OUT_LANES), lambda b, sp: (b, 0)),
+            pl.BlockSpec((_ROW_BLOCK, wp), lambda b, sp: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((_ROW_BLOCK, _OUT_LANES),
+                               lambda b, sp: (b, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((hp, _OUT_LANES), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(k, img_p, img_p, img_p, img_p, xq_p, yq_p, yb_p)
+    return out[:out_h, :out_w].astype(jnp.uint8)

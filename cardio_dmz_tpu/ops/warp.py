@@ -361,7 +361,8 @@ def _band_base(b, rr, jj, slack=12):
 def warp_perspective_exact(image, m_src_to_dst, out_shape,
                            src_bounds=None, transpose=False,
                            row_block=16, row_win=192,
-                           col_block=64, col_win=256, tilt=0.095):
+                           col_block=64, col_win=256, tilt=0.095,
+                           use_pallas=None, interpret=False):
     """cvWarpPerspective INTER_LINEAR + FILL_OUTLIERS, reproduced EXACTLY
     (bit-for-bit vs the compiled reference) as dense TPU contractions.
 
@@ -389,6 +390,11 @@ def warp_perspective_exact(image, m_src_to_dst, out_shape,
     (eigen_persp_transform). src_bounds/transpose: as in
     warp_perspective_dense. Samples outside the static windows read as 0;
     the windows cover every detector-reachable quad (api.warp_src_bounds).
+
+    use_pallas: route the gather stages through the Mosaic kernel
+    (ops/pallas/warp_gather.py) — identical results, real dynamic_gather
+    ops instead of one-hot contractions. None = auto (TPU backend and a
+    32-row-aligned source). interpret: pallas interpret mode (CPU tests).
     """
     import jax as _jax
     # one-hots and u8 pixel values are exact in bf16 and single-nonzero
@@ -402,6 +408,17 @@ def warp_perspective_exact(image, m_src_to_dst, out_shape,
         xq, yq = yq, xq
         minv = minv[jnp.array([1, 0, 2])]
     in_h, in_w = image.shape[-2], image.shape[-1]
+
+    if use_pallas is None:
+        use_pallas = (_jax.default_backend() == "tpu" and in_h % 32 == 0
+                      and image.ndim == 2)
+    if use_pallas:
+        from .pallas.warp_gather import warp_gather_exact
+        rr = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+        jjf = jnp.arange(in_w, dtype=jnp.float32)[None, :]
+        yb = _band_base(minv, rr, jjf)                   # (out_h, in_w)
+        return warp_gather_exact(image, xq, yq, yb, out_shape,
+                                 interpret=interpret)
 
     x0 = xq >> 5
     ax = (xq & 31).astype(jnp.int32)

@@ -64,6 +64,49 @@ def test_detect_edges_and_corners():
     assert br[1] == pytest.approx(y1, abs=4)
 
 
+def test_detect_edges_batched_canny_equals_per_band():
+    """The packed-canvas batched canny path inside detect_edges
+    (api._band_lines_batched) is BIT-identical to running each of the 12
+    detection bands through its own canny (api._find_edge, the oracle
+    form) — the zero-gradient moats make the bands independent. Checked
+    on a card frame AND pure noise (worst case for moat crossings)."""
+    import jax
+    import jax.numpy as jnp
+
+    mults = (1.0, 2.0, 2.0)
+    edge_specs = (("top", False), ("bottom", False),
+                  ("left", True), ("right", True))
+
+    def oracle(y, cb, cr):
+        samples = (jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr))
+        boxes = [api.detection_boxes(s.shape, ORIENTATION_LANDSCAPE_RIGHT)
+                 for s in samples]
+        return {n: api._find_edge(samples, boxes, n, v, mults)
+                for n, v in edge_specs}
+
+    def batched(y, cb, cr):
+        samples = (jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr))
+        boxes = [api.detection_boxes(s.shape, ORIENTATION_LANDSCAPE_RIGHT)
+                 for s in samples]
+        lines = api._band_lines_batched(samples, boxes)
+        return {n: api._select_edge(lines[n], mults) for n, _ in edge_specs}
+
+    oj, bj = jax.jit(oracle), jax.jit(batched)
+    rng = np.random.RandomState(2)
+    frames = [synth_ycbcr_card()[:3],
+              (rng.randint(0, 256, (480, 640)).astype(np.uint8),
+               rng.randint(0, 256, (240, 320)).astype(np.uint8),
+               rng.randint(0, 256, (240, 320)).astype(np.uint8))]
+    for y, cb, cr in frames:
+        want, got = oj(y, cb, cr), bj(y, cb, cr)
+        for name, _ in edge_specs:
+            for field in ("found", "rho", "theta"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(got[name], field)),
+                    np.asarray(getattr(want[name], field)),
+                    err_msg=f"{name}.{field}")
+
+
 def test_transform_card_rectifies():
     y, cb, cr, rect = synth_ycbcr_card()
     _, corners = api.detect_edges(y, cb, cr, ORIENTATION_LANDSCAPE_RIGHT)

@@ -200,6 +200,49 @@ def test_bounded_hysteresis_sandwich_on_percolating_noise():
         prev = got
 
 
+def test_run_flood_matches_scalar_oracle():
+    """Both run-flood forms (ops/canny._run_flood_scan for CPU,
+    _run_flood_doubling for TPU) light exactly the candidates whose
+    maximal run (along the axis) contains a seed — checked against a
+    per-run scalar oracle on random masks, both axes, non-power-of-two
+    lengths included."""
+    import jax.numpy as jnp
+    from cardio_dmz_tpu.ops.canny import (_run_flood_doubling,
+                                          _run_flood_scan)
+
+    def oracle(edge, cand, axis):
+        e, c = np.array(edge), np.array(cand)
+        if axis % 2 == 0:
+            e, c = e.T, c.T
+        out = e.copy()
+        for i in range(e.shape[0]):
+            j, n = 0, e.shape[1]
+            while j < n:
+                if not c[i, j]:
+                    j += 1
+                    continue
+                k = j
+                while k < n and c[i, k]:
+                    k += 1
+                if e[i, j:k].any():
+                    out[i, j:k] = True
+                j = k
+        return out.T if axis % 2 == 0 else out
+
+    rng = np.random.RandomState(3)
+    for trial in range(12):
+        h, w = rng.randint(2, 45), rng.randint(2, 45)
+        cand = rng.rand(h, w) < rng.uniform(0.2, 0.8)
+        edge = cand & (rng.rand(h, w) < 0.1)
+        for axis in (-1, -2):
+            want = oracle(edge, cand, axis)
+            for impl in (_run_flood_scan, _run_flood_doubling):
+                got = np.asarray(impl(jnp.asarray(edge),
+                                      jnp.asarray(cand), axis))
+                np.testing.assert_array_equal(got, want,
+                                              err_msg=impl.__name__)
+
+
 def test_adaptive_canny_runs_and_finds_edge():
     img = _smooth_edges_image(54, 300, line_row=25)
     edges, dx, dy = ops.adaptive_canny7(img)

@@ -56,3 +56,29 @@ def test_number_scores_pallas_path_matches():
     b = np.asarray(number_scores(params, jnp.asarray(strip),
                                  jnp.asarray(offsets), 16, use_pallas=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_warp_gather_pallas_matches_xla_exact():
+    """The Mosaic warp-gather kernel (ops/pallas/warp_gather.py) is
+    bit-identical to warp_perspective_exact's XLA one-hot form — the form
+    that is itself bit-exact vs the compiled reference
+    (tests/test_cpp_parity.py::test_warp_exact_pixel_parity) — over
+    detector-realistic perspective quads on random noise (worst case:
+    every quantization flip changes the output)."""
+    from cardio_dmz_tpu.ops.persp import eigen_persp_transform
+    from cardio_dmz_tpu.ops.warp import warp_perspective_exact
+
+    rng = np.random.RandomState(9)
+    dst = jnp.asarray([[0.0, 0.0], [427.0, 0.0], [0.0, 269.0],
+                       [427.0, 269.0]], jnp.float32)
+    xla = jax.jit(lambda im, m: warp_perspective_exact(
+        im, m, (270, 428), use_pallas=False))
+    pal = jax.jit(lambda im, m: warp_perspective_exact(
+        im, m, (270, 428), use_pallas=True, interpret=INTERPRET))
+    for t in range(2):
+        src = (np.float32([[106, 105], [534, 105], [106, 375], [534, 375]])
+               + rng.uniform(-12, 12, (4, 2)).astype(np.float32))
+        img = rng.randint(0, 256, (480, 640)).astype(np.uint8)
+        m = eigen_persp_transform(jnp.asarray(src), dst)
+        np.testing.assert_array_equal(np.asarray(pal(img, m)),
+                                      np.asarray(xla(img, m)))
