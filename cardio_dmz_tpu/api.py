@@ -351,9 +351,13 @@ _CORNER_ORDER = {
 }
 
 # extra slop beyond the detection bands for corner-coordinate bounds: lines
-# are constrained to the bands at ±5°, so their intersections can stray only
-# slightly past the band rects
-_CORNER_BOUND_PAD = 32
+# are constrained to the bands at ±5° (and must collect >= threshold votes
+# inside the band, bounding how far they extrapolate), so intersections can
+# stray only slightly past the band rects. 40 gives >= ~6 px of measured
+# margin over the adversarial line envelope incl. hough rho quantization
+# and CbCr half-plane scaling (tests/test_warp_envelope.py; 32 was 1.8 px
+# SHORT of the worst vote-reachable corner).
+_CORNER_BOUND_PAD = 40
 
 
 def _orientation_transposes(orientation):

@@ -171,9 +171,24 @@ def warp_gather_exact(image, xq, yq, yb, out_shape, interpret=False):
     # columns likewise (those lanes are gathered only for masked taps)
     yb_p = _pad_to(yb, hp, wp, value=10 ** 6)
 
-    # per-block aligned window starts (units of 32 source rows)
+    # per-block aligned window starts (units of 32 source rows), from the
+    # band bases of the block's PICKED columns only: j is gathered in
+    # stage 2 only for j in [min x0, max x0 + 1] over the block's in-image
+    # taps, so columns outside that span (where a tilted band's yb can sit
+    # tens of rows lower) must not drag the window down — masking them
+    # buys back that coverage margin (measured: the adversarial detector
+    # envelope's worst spread fits with ~30 px to spare vs 0 unmasked,
+    # tests/test_warp_envelope.py).
+    x0e = jnp.clip(xq >> 5, 0, in_w - 1)
+    x0e = jnp.pad(x0e, ((0, hp - out_h), (0, 0)), mode="edge")
+    x0b = x0e.reshape(n_blocks, _ROW_BLOCK, out_w)
+    jlo = jnp.min(x0b, axis=(1, 2))                        # (n_blocks,)
+    jhi = jnp.clip(jnp.max(x0b, axis=(1, 2)) + 1, 0, in_w - 1)
+    jj = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    picked = (jj >= jlo[:, None]) & (jj <= jhi[:, None])   # (n_blocks, wp)
     yb_blocks = yb_p.reshape(n_blocks, _ROW_BLOCK, wp)
-    k = jnp.min(yb_blocks, axis=(1, 2)) // _ALIGN
+    ybm = jnp.where(picked[:, None, :], yb_blocks, jnp.int32(10 ** 6))
+    k = jnp.min(ybm, axis=(1, 2)) // _ALIGN
     k = jnp.clip(k, 0, in_h // _ALIGN - _WIN // _ALIGN).astype(jnp.int32)
 
     kernel = functools.partial(_warp_gather_kernel, in_h, in_w, n_q)

@@ -185,7 +185,7 @@ def _block_starts(lo0, hi0, lo1, hi1, out_n, in_n, block, win, pad):
 
 def warp_perspective_dense(image, m_dst_to_src, out_shape, src_bounds=None,
                            row_block=16, row_win=192, col_block=64,
-                           col_win=256, tilt=0.095, compute_dtype=None,
+                           col_win=288, tilt=0.095, compute_dtype=None,
                            fixed_point=False):
     """Gather-free perspective warp: classic two-pass (Catmull-Smith)
     resampling where each pass is a dense hat-weight contraction.
@@ -361,7 +361,7 @@ def _band_base(b, rr, jj, slack=12):
 def warp_perspective_exact(image, m_src_to_dst, out_shape,
                            src_bounds=None, transpose=False,
                            row_block=16, row_win=192,
-                           col_block=64, col_win=256, tilt=0.095,
+                           col_block=64, col_win=288, tilt=0.095,
                            use_pallas=None, interpret=False):
     """cvWarpPerspective INTER_LINEAR + FILL_OUTLIERS, reproduced EXACTLY
     (bit-for-bit vs the compiled reference) as dense TPU contractions.
@@ -508,7 +508,11 @@ def warp_perspective_exact(image, m_src_to_dst, out_shape,
     for bidx, s in enumerate(col_starts):
         c0 = bidx * col_block
         cb = min(col_block, out_w - c0)
-        idx = x0[:, c0:c0 + cb] - s                       # (out_h, cb)
+        # pair column: x0, except at the left image border (x0 == -1,
+        # where only the x0+1 == 0 tap is in-image; cv still reads it,
+        # cv/warp.cpp:165) gather column 0's pair and let the assembly
+        # take its FIRST half for the high tap
+        idx = jnp.maximum(x0[:, c0:c0 + cb], 0) - s       # (out_h, cb)
         valid = (idx >= 0) & (idx < col_win)
         oh_lo = ((idx & (n_lo - 1))[:, :, None] == lo_idx[None, None, :])
         oh_lo = (oh_lo & valid[:, :, None]).astype(odt)
@@ -537,8 +541,12 @@ def warp_perspective_exact(image, m_src_to_dst, out_shape,
 
     i00 = pick(0, m0)
     i10 = pick(0, m0 + 1)
-    i01 = pick(1, m1)
-    i11 = pick(1, m1 + 1)
+    # left-border pixels (x0 == -1) gathered their pair at column 0, so
+    # the x0+1 tap lives in the LOW half (whose base yb0 is then column
+    # 0's base — the right base for that tap); i00/i10 are border-masked
+    edge_l = x0 == -1
+    i01 = jnp.where(edge_l, i00, pick(1, m1))
+    i11 = jnp.where(edge_l, i10, pick(1, m1 + 1))
     vx0 = (x0 >= 0) & (x0 < in_w)
     vx1 = (x0 + 1 >= 0) & (x0 + 1 < in_w)
     vy0 = (y0 >= 0) & (y0 < in_h)
