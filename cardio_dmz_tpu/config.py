@@ -23,6 +23,11 @@ class ScanConfig:
     #                                   complete — steady-state profiling
     debug: bool = False               # DMZ_DEBUG
     trace: bool = False               # DMZ_TRACE
+    expiry_allow_past_dates: bool = False  # the DMZ_DEBUG/CYTHON_DMZ
+    #                                   date-sanity branch (accepts past
+    #                                   dates, expiry_categorize.cpp:382-397)
+    #                                   — the compiled-reference harness's
+    #                                   configuration; A/B sweeps set True
 
     # execution
     use_pallas: bool = False          # pallas digit-prep kernel (bit-exact;

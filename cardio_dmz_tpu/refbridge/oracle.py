@@ -15,7 +15,7 @@ import numpy as np
 from .build import build
 
 REF_MAX_GROUPS = 12
-REF_MAX_CHARS = 16
+REF_MAX_CHARS = 48  # pre-filter local groups can span a full stripe
 CARD_H, CARD_W = 270, 428
 
 _i32, _f32, _i64 = ctypes.c_int32, ctypes.c_float, ctypes.c_int64
@@ -381,6 +381,17 @@ class RefOracle:
         self._lib.ref_slash_prob.restype = ctypes.c_float
         return float(self._lib.ref_slash_prob(
             s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), int(top), int(left)))
+
+    def gather_groups(self, groups, tolerance: int):
+        """gather_into_groups over GROUPS with character rects — the
+        super-group gather (expiry_seg.cpp:548, carried disabled)."""
+        n = len(groups)
+        arr = (_RefGroup * n)(*[g.to_c() for g in groups])
+        out = (_RefGroup * REF_MAX_GROUPS)()
+        n_out = _i32(0)
+        self._lib.ref_gather_groups(arr, n, int(tolerance), out,
+                                    ctypes.byref(n_out))
+        return [RefGroupResult.from_c(out[i]) for i in range(n_out.value)]
 
     def gather_into_groups(self, tops, lefts, sums, tolerance: int):
         n = len(tops)

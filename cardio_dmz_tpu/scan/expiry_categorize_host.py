@@ -129,10 +129,16 @@ def stable_expiry_digits(group: GroupedRects):
     return digits
 
 
-def expiry_from_digits(digits, pattern, best_month, best_year, now):
+def expiry_from_digits(digits, pattern, best_month, best_year, now,
+                       allow_past_dates=False):
     """expiry_string_to_expiry_month_and_year (expiry_categorize.cpp:334-399).
 
-    now: (year, month). Returns possibly-updated (month, full_year)."""
+    now: (year, month). Returns possibly-updated (month, full_year).
+    allow_past_dates mirrors the reference's DMZ_DEBUG/CYTHON_DMZ branch
+    (expiry_categorize.cpp:382-397): when the shipped [now, now+5y) window
+    rejects, any date < now+5y is still accepted (years > 60 re-based to
+    19xx). The compiled refbridge oracle IS the CYTHON_DMZ configuration,
+    so A/B sweeps set this True; serving keeps the shipped False."""
     month = year = -1
     if pattern == ExpiryPattern.MM_S_YY:
         if (len(digits) >= 5 and digits[0] is not None and
@@ -151,16 +157,21 @@ def expiry_from_digits(digits, pattern, best_month, best_year, now):
                 (full_year > current_year or
                  (full_year == current_year and month >= current_month))):
             return month, full_year
+        if allow_past_dates:
+            if year > 60:
+                full_year = year + 1900
+            if full_year < current_year + 5:
+                return month, full_year
     return best_month, best_year
 
 
 def expiry_extract(card_y, aggregated_groups, new_groups, params, now,
-                   best_month=0, best_year=0):
+                   best_month=0, best_year=0, allow_past_dates=False):
     """expiry_extract (expiry_categorize.cpp:448-501).
 
     Mutates aggregated_groups; returns (month, full_year) (0, 0 if not yet
     stable). `now` = (year, month) — a parameter rather than a wall-clock
-    read so the logic is pure."""
+    read so the logic is pure. allow_past_dates: see expiry_from_digits."""
     if not new_groups:
         return best_month, best_year
     for g in new_groups:
@@ -171,5 +182,6 @@ def expiry_extract(card_y, aggregated_groups, new_groups, params, now,
             continue
         digits = stable_expiry_digits(g)
         best_month, best_year = expiry_from_digits(
-            digits, g.pattern, best_month, best_year, now)
+            digits, g.pattern, best_month, best_year, now,
+            allow_past_dates=allow_past_dates)
     return best_month, best_year

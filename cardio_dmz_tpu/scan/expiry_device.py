@@ -817,9 +817,17 @@ def aggregate_windows(state: ExpiryState, windows: ExpiryWindows,
 
 
 def extract_expiry(state: ExpiryState, best_month, best_year,
-                   now_year, now_month):
+                   now_year, now_month, allow_past_dates=False):
     """Stable digits + date sanity over all trusted slots
-    (expiry_categorize.cpp:334-501). Returns (month, full_year)."""
+    (expiry_categorize.cpp:334-501). Returns (month, full_year).
+
+    allow_past_dates (static) mirrors the reference's DMZ_DEBUG/CYTHON_DMZ
+    branch (expiry_categorize.cpp:382-397): dates rejected by the shipped
+    [now, now+5y) window are still accepted when < now+5y (years > 60
+    re-based to 19xx). That branch's mixed 1900/2000 bases make the sweep
+    order-dependent, so the flagged form runs the reference's sequential
+    prefer-later sweep over slots (slot order == first-seen order == the
+    reference's push_back order) instead of the vectorized argmax."""
     row_sum = jnp.sum(state.scores, axis=-1)                 # (S, 5)
     row_max = jnp.max(state.scores, axis=-1)
     stability = row_max / jnp.where(row_sum > 0, row_sum, 1.0)
@@ -843,6 +851,26 @@ def extract_expiry(state: ExpiryState, best_month, best_year,
     window_ok = (full_year < now_year + 5) & \
         ((full_year > now_year) |
          ((full_year == now_year) & (month >= now_month)))
+
+    if allow_past_dates:
+        rebased = jnp.where(year > 60, year + 1900, full_year)
+        dbg_ok = rebased < now_year + 5
+
+        def body(i, carry):
+            bm, by = carry
+            later = (full_year[i] > by) | ((full_year[i] == by) &
+                                           (month[i] > bm))
+            outer = cand_ok[i] & later
+            acc_shipped = outer & window_ok[i]
+            acc_dbg = outer & ~window_ok[i] & dbg_ok[i]
+            ny = jnp.where(acc_shipped, full_year[i],
+                           jnp.where(acc_dbg, rebased[i], by))
+            nm = jnp.where(acc_shipped | acc_dbg, month[i], bm)
+            return nm, ny
+
+        return lax.fori_loop(0, month.shape[0], body,
+                             (best_month, best_year))
+
     key = jnp.where(cand_ok & window_ok, full_year * 16 + month, -1)
     best_cand = jnp.max(key)   # key is monotone in (year, month); month < 16
     best_key = best_year * 16 + best_month

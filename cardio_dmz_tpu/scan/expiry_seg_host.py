@@ -21,6 +21,7 @@ from .expiry_types import (
     ExpiryPattern,
     GroupedRects,
     MIN_EXPIRY_STRIP_CHARS,
+    MIN_NAME_STRIP_CHARS,
     SMALL_CHAR_HEIGHT,
     SMALL_CHAR_WIDTH,
     TRIMMED_CHAR_HEIGHT,
@@ -262,10 +263,10 @@ def _slash_prob(slash_params, sobel, rect: CharacterRect):
     return float(probs[0])
 
 
-def find_character_groups_for_stripe(sobel, base_row, stripe_sum,
-                                     slash_params):
-    """expiry_seg.cpp:386-704 for one stripe. Returns expiry groups (each a
-    5-char MM/YY GroupedRects)."""
+def local_groups_for_stripe(sobel, base_row, stripe_sum):
+    """Steps [1]-[4] of find_character_groups_for_stripe
+    (expiry_seg.cpp:395-537): candidate 9x17 rects -> greedy non-overlap
+    -> gap<9 local groups, BEFORE any width filtering."""
     h = SMALL_CHAR_HEIGHT + 2  # always 17 (see best_expiry_seg bounds)
     expanded_top = base_row - 1
 
@@ -301,18 +302,51 @@ def find_character_groups_for_stripe(sobel, base_row, stripe_sum,
             mask[left:left + SMALL_CHAR_WIDTH] = True
 
     # [4] local groups (gap < 9)
-    local_groups = gather_into_groups(non_overlapping, SMALL_CHAR_WIDTH)
+    return gather_into_groups(non_overlapping, SMALL_CHAR_WIDTH)
+
+
+def find_character_groups_for_stripe(sobel, base_row, stripe_sum,
+                                     slash_params,
+                                     collect_name_groups=False):
+    """expiry_seg.cpp:386-704 for one stripe. Returns (expiry_groups,
+    name_groups): expiry groups are 5-char MM/YY GroupedRects; name
+    groups are super-groups (local groups merged at a 2x gap tolerance,
+    expiry_seg.cpp:530-548) — the reference CARRIES this path but keeps
+    the gather call commented out (expiry_seg.cpp:548), so
+    collect_name_groups defaults off and serving matches the reference's
+    runtime behavior exactly."""
+    local_groups = local_groups_for_stripe(sobel, base_row, stripe_sum)
+
+    # [5] super-groups: local groups merged while the gap is < 2x char
+    # width (expiry_seg.cpp:546-548 — the gather is commented out there;
+    # this is that line, enabled). Gathered BEFORE the width filters,
+    # exactly where the reference's call sits.
+    super_groups = []
+    if collect_name_groups:
+        super_groups = gather_into_groups(local_groups,
+                                          2 * SMALL_CHAR_WIDTH)
+        super_groups = [g for g in super_groups
+                        if len(g.character_rects)
+                        >= MIN_NAME_STRIP_CHARS - 1]
+
     local_groups = [g for g in local_groups
                     if len(g.character_rects) >= MIN_EXPIRY_STRIP_CHARS - 1]
 
-    # [5] regrid + per-char optimize
+    # [6] regrid + per-char optimize (both kinds, expiry_seg.cpp:591-645)
     for g in local_groups:
+        regrid_group(sobel, g)
+    for g in super_groups:
         regrid_group(sobel, g)
     out = []
     for g in local_groups:
         optimize_character_rects(sobel, g)
         if len(g.character_rects) >= MIN_EXPIRY_STRIP_CHARS:
             out.append(g)
+    name_groups = []
+    for g in super_groups:
+        optimize_character_rects(sobel, g)
+        if len(g.character_rects) >= MIN_NAME_STRIP_CHARS:
+            name_groups.append(g)
 
     # slash check anchors MM/YY windows (expiry_seg.cpp:659-687)
     expiry_groups = []
@@ -331,19 +365,27 @@ def find_character_groups_for_stripe(sobel, base_row, stripe_sum,
                     pattern=ExpiryPattern.MM_S_YY)
                 eg.character_rects = list(win)
                 expiry_groups.append(eg)
-    return expiry_groups
+    return expiry_groups, name_groups
 
 
-def best_expiry_seg(card_y, starting_y_offset, slash_params):
+def best_expiry_seg(card_y, starting_y_offset, slash_params,
+                    collect_name_groups=False):
     """best_expiry_seg (expiry_seg.cpp:706-902). Returns (expiry_groups,
-    name_groups) — name supergroups are disabled in the reference
-    (expiry_seg.cpp:547-548), so name_groups is always empty."""
+    name_groups). Name super-groups are disabled in the reference's
+    runtime (expiry_seg.cpp:547-548) so collect_name_groups defaults
+    False (name_groups empty, matching shipped behavior); True enables
+    the carried-but-disabled gather_into_groups(.., 2*char_width) path
+    (validated against the compiled reference's own gather/regrid/
+    optimize internals in tests/test_cpp_parity.py)."""
     card_y = np.asarray(card_y)
     sobel = scharr_dx_abs_below(card_y, starting_y_offset)
     stripes = select_stripes(sobel, starting_y_offset)
     expiry_groups = []
+    name_groups = []
     for base, total in stripes:
-        expiry_groups.extend(
-            find_character_groups_for_stripe(sobel, base, total,
-                                             slash_params))
-    return expiry_groups, []
+        eg, ng = find_character_groups_for_stripe(
+            sobel, base, total, slash_params,
+            collect_name_groups=collect_name_groups)
+        expiry_groups.extend(eg)
+        name_groups.extend(ng)
+    return expiry_groups, name_groups

@@ -70,9 +70,12 @@ class FrameResult(typing.NamedTuple):
     torch_is_on: jnp.ndarray       # bool (frame.h:27)
     flipped: jnp.ndarray           # bool (frame.h:23)
     expiry_groups: ExpiryWindows   # (frame.h:19)
-    name_groups: ExpiryWindows     # (frame.h:20) — always empty: the
-    # reference's name-supergroup path is disabled (expiry_seg.cpp:544-548);
-    # the surface is carried so a future enable matches the reference shape.
+    name_groups: ExpiryWindows     # (frame.h:20) — empty in serving: the
+    # reference's name-supergroup path is disabled (expiry_seg.cpp:544-548).
+    # The path itself IS implemented, flag-gated and off by default, on the
+    # host oracle (expiry_seg_host.best_expiry_seg(collect_name_groups=True),
+    # session.host.HostScanner(collect_name_groups=True)), A/B-validated
+    # against the compiled reference's own gather/regrid/optimize internals.
 
 
 def scan_card_image(params, y, collect_card_number=None, scan_expiry=False,

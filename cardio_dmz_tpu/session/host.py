@@ -13,7 +13,7 @@ import time
 import jax
 import numpy as np
 
-from ..constants import CARD_HEIGHT, SMALL_CHARACTER_HEIGHT
+from ..constants import CARD_HEIGHT, MIN_VSEG_SCORE, SMALL_CHARACTER_HEIGHT
 from ..scan.expiry_seg_host import best_expiry_seg
 from ..scan.expiry_categorize_host import expiry_extract
 from .state import (
@@ -27,12 +27,20 @@ from .state import (
 class HostScanner:
     """Stateful convenience wrapper (the dmz_context + ScannerState role)."""
 
-    def __init__(self, params, scan_expiry=True, now=None):
+    def __init__(self, params, scan_expiry=True, now=None,
+                 collect_name_groups=False, allow_past_dates=False):
         self.params = params
         self.scan_expiry = scan_expiry
+        # flag-gated name super-groups (expiry_seg.cpp:544-548 carries
+        # this path disabled; off by default to match the reference)
+        self.collect_name_groups = collect_name_groups
+        # DMZ_DEBUG/CYTHON_DMZ date-sanity branch (accepts past dates) —
+        # matches the compiled-reference harness when True
+        self.allow_past_dates = allow_past_dates
         self.now = now or time.localtime()[:2]  # (year, month)
         self.state = scanner_reset()
         self.expiry_groups = []
+        self.name_groups = []
         self.expiry_month = 0
         self.expiry_year = 0
         self._step = jax.jit(
@@ -41,27 +49,41 @@ class HostScanner:
     def reset(self):
         self.state = scanner_reset()
         self.expiry_groups = []
+        self.name_groups = []
         self.expiry_month = 0
         self.expiry_year = 0
 
     def add_frame(self, y):
         """One 270x428 u8 frame. Returns (FrameResult, ScannerResult)."""
         y = np.ascontiguousarray(y, np.uint8)
+        pre_complete = bool(self.state.number_complete)
         self.state, (frame, _result) = self._step(self.state, y)
 
+        # scan.cpp:57 drops !usable frames, where `usable` is computed
+        # with collect_card_number = still-collecting (frame.cpp:49-69):
+        # the number-score check gates expiry only UNTIL the number
+        # completes; afterwards the vseg-only gate applies.
+        if pre_complete:
+            session_usable = (float(frame.vseg.score) > MIN_VSEG_SCORE
+                              and not bool(frame.upside_down))
+        else:
+            session_usable = bool(frame.usable)
         need_expiry = self.scan_expiry and (
             self.expiry_month == 0 or self.expiry_year == 0)
         if (need_expiry and not bool(frame.upside_down)
-                and bool(frame.usable)):
+                and session_usable):
             y_off = int(frame.vseg.y_offset)
             if y_off < CARD_HEIGHT - 2 * SMALL_CHARACTER_HEIGHT:
-                new_groups, _ = best_expiry_seg(
-                    y, y_off, self.params["slash_mlp"])
+                new_groups, name_groups = best_expiry_seg(
+                    y, y_off, self.params["slash_mlp"],
+                    collect_name_groups=self.collect_name_groups)
+                self.name_groups = name_groups
                 self.expiry_month, self.expiry_year = expiry_extract(
                     y, self.expiry_groups, new_groups,
                     self.params["expiry_conv"], now=self.now,
                     best_month=self.expiry_month,
-                    best_year=self.expiry_year)
+                    best_year=self.expiry_year,
+                    allow_past_dates=self.allow_past_dates)
         return frame, self.result()
 
     def result(self) -> ScannerResult:

@@ -142,7 +142,7 @@ def _accumulate(state: ScannerState, frame: FrameResult) -> ScannerState:
 
 def scanner_add_frame(params, state: ScannerState, y,
                       scan_expiry=False, telemetry=None,
-                      frame_gate=None) -> tuple:
+                      frame_gate=None, allow_past_dates=False) -> tuple:
     """scanner_add_frame_with_expiry (scan.cpp:41-86): run the frame
     pipeline and fold the result into the session state.
 
@@ -182,14 +182,22 @@ def scanner_add_frame(params, state: ScannerState, y,
         scores = categorize_windows(params["expiry_conv"], y, windows)
         # the reference's expiry_extract is a no-op when segmentation found
         # nothing (expiry_categorize.cpp:454-456): gate the aggregation.
-        # windows.valid already embeds the usable/room/still-needed gates.
-        any_new = jnp.any(windows.valid)
+        # windows.valid already embeds the vseg/room/still-needed gates.
+        # The session additionally drops the frame on !usable (scan.cpp:57)
+        # — and `usable` there is computed with collect_card_number =
+        # still_need_number (frame.cpp:49-69): while the number is still
+        # being collected it includes the number-score check; once the
+        # number is complete it relaxes to the vseg-only gate that
+        # windows.valid already carries.
+        session_ok = frame.usable | state.number_complete
+        any_new = jnp.any(windows.valid) & session_ok
         merged = aggregate_windows(state.expiry, windows, scores)
         expiry_state = jax.tree.map(
             lambda a, b: jnp.where(any_new, a, b), merged, state.expiry)
         month, year = extract_expiry(
             expiry_state, state.expiry_month, state.expiry_year,
-            state.now_year, state.now_month)
+            state.now_year, state.now_month,
+            allow_past_dates=allow_past_dates)
         month = jnp.where(any_new, month, state.expiry_month)
         year = jnp.where(any_new, year, state.expiry_year)
         state = state._replace(expiry=expiry_state,
@@ -278,12 +286,15 @@ def scanner_step(params, state: ScannerState, y, scan_expiry=False,
     streams and folds over time. config (static ScanConfig) overrides the
     scan_expiry flag and supplies scan_forever / pallas gates."""
     scan_forever = False
+    allow_past_dates = False
     if config is not None:
         scan_expiry = config.scan_expiry
         scan_forever = config.scan_forever
+        allow_past_dates = config.expiry_allow_past_dates
     state, frame = scanner_add_frame(params, state, y, scan_expiry,
                                      telemetry=telemetry,
-                                     frame_gate=frame_gate)
+                                     frame_gate=frame_gate,
+                                     allow_past_dates=allow_past_dates)
     state, result = scanner_result(state, scan_forever=scan_forever)
     return state, (frame, result)
 

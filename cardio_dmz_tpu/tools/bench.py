@@ -49,6 +49,9 @@ def main():
                          "throughput: a single-stream step, timed as the "
                          "steady-state per-step time of the one jitted "
                          "graph (no host round-trips inside a step)")
+    ap.add_argument("--noise-frames", action="store_true",
+                    help="camera mode: uniform-noise frames (worst-case "
+                         "probe) instead of rendered card previews")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny sizes for CI smoke")
     args = ap.parse_args()
@@ -78,9 +81,40 @@ def main():
                 config=cam_config)
             return states, results.complete
 
-        y = rng.randint(0, 256, (args.streams, 480, 640)).astype(np.uint8)
-        cb = rng.randint(0, 256, (args.streams, 240, 320)).astype(np.uint8)
-        cr = rng.randint(0, 256, (args.streams, 240, 320)).astype(np.uint8)
+        if args.noise_frames:
+            # worst-case probe: uniform noise (content-independence check)
+            y = rng.randint(0, 256,
+                            (args.streams, 480, 640)).astype(np.uint8)
+            cb = rng.randint(0, 256,
+                             (args.streams, 240, 320)).astype(np.uint8)
+            cr = rng.randint(0, 256,
+                             (args.streams, 240, 320)).astype(np.uint8)
+        else:
+            # representative input: rendered card previews (distinct PANs,
+            # jittered PAN rows, background noise) so the detect stage
+            # (canny candidate density, hough votes) sees real content —
+            # 16 distinct frames tiled across the stream batch
+            from cardio_dmz_tpu import synthetic
+            from cardio_dmz_tpu.constants import (
+                LANDSCAPE_HORIZONTAL_INSET, LANDSCAPE_VERTICAL_INSET)
+            n_distinct = min(args.streams, 16)
+            ys, cbs, crs = [], [], []
+            for i in range(n_distinct):
+                pan = synthetic.safe_pan(np.random.default_rng(100 + i))
+                card = np.asarray(synthetic.render_frame(
+                    pan, y0=150 + (i % 5) * 8, seed=i, noise=2), np.int32)
+                fy = np.full((480, 640), 50, np.int32)
+                fy += rng.randint(-3, 4, fy.shape)
+                x0, yy0 = (LANDSCAPE_HORIZONTAL_INSET,
+                           LANDSCAPE_VERTICAL_INSET)
+                fy[yy0:yy0 + 270, x0:x0 + 428] = card
+                ys.append(np.clip(fy, 0, 255).astype(np.uint8))
+                cbs.append(np.full((240, 320), 128, np.uint8))
+                crs.append(np.full((240, 320), 128, np.uint8))
+            reps = -(-args.streams // n_distinct)
+            y = np.tile(np.stack(ys), (reps, 1, 1))[:args.streams]
+            cb = np.tile(np.stack(cbs), (reps, 1, 1))[:args.streams]
+            cr = np.tile(np.stack(crs), (reps, 1, 1))[:args.streams]
         inputs = tuple(map(jax.device_put, (y, cb, cr)))
         metric = "camera_pipeline_throughput"
     else:

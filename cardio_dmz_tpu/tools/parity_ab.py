@@ -25,7 +25,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--sessions", type=int, default=30)
-    ap.add_argument("--expiry-sessions", type=int, default=12)
+    ap.add_argument("--expiry-sessions", type=int, default=100)
     ap.add_argument("--camera-frames", type=int, default=60)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
@@ -120,17 +120,46 @@ def main():
         c["session_our_correct"] += int(our_pan == pan)
 
     # ---------------- session-level expiry sweep ----------------
-    dates = list(synthetic.RELIABLE_EXPIRY_DATES)
+    # Randomized sessions: date (incl. out-of-window rejects), layout
+    # (position, spacing, PAN row), noise — both the HOST oracle and the
+    # DEVICE in-graph expiry path (scanner_step(scan_expiry=True)) are
+    # measured DIRECTLY against the compiled reference session.
+    from cardio_dmz_tpu.config import ScanConfig
+    from cardio_dmz_tpu.session.state import scanner_reset, scanner_step
+
+    # the compiled reference harness is the CYTHON_DMZ configuration,
+    # whose date sanity also accepts past dates — match it for the A/B
+    ab_config = ScanConfig(scan_expiry=True, expiry_allow_past_dates=True)
+    dev_step = jax.jit(
+        lambda st, y: scanner_step(params, st, y, config=ab_config))
+    now = (2026, 8)
     for s in range(args.expiry_sessions):
-        text = dates[s % len(dates)]
+        if s % 8 == 7:       # out-of-window date: rejection agreement
+            text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(32, 40))
+        elif s % 8 == 3:     # past date
+            text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(20, 26))
+        else:                # in the [now, now+5y] acceptance window
+            text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(27, 31))
         want = (int(text[:2]), 2000 + int(text[3:]))
-        ours = HostScanner(params, scan_expiry=True, now=(2026, 8))
+        y0 = int(rng.integers(145, 205))
+        ex = int(rng.integers(90, 170))
+        ey = min(y0 + 27 + int(rng.integers(30, 46)), 252)  # slash fits card
+        spacing = int(rng.integers(12, 15))
+        noise = int(rng.integers(0, 3))
+        pan = synthetic.safe_pan(rng)
+
+        ours = HostScanner(params, scan_expiry=True, now=now,
+                           allow_past_dates=True)
+        dev = scanner_reset(now=now)
         handle = o.scanner_create()
-        ref_date = our_date = None
+        ref_date = our_date = dev_date = None
         for i in range(12):
             y = np.asarray(synthetic.render_frame_with_expiry(
-                "4111111111111111", text, seed=i), dtype=np.uint8)
+                pan, text, y0=y0, expiry_y=ey, expiry_x=ex,
+                expiry_spacing=spacing, noise=noise,
+                seed=7000 * s + i), dtype=np.uint8)
             ours.add_frame(y)
+            dev, (_, dres) = dev_step(dev, y)
             o.scanner_add_frame(handle, y, scan_expiry=True)
             r = o.scanner_result(handle)
             if ref_date is None and r and r[1] and r[2]:
@@ -138,9 +167,14 @@ def main():
             res = ours.result()
             if our_date is None and res.complete and res.expiry_month:
                 our_date = (res.expiry_month, res.expiry_year)
+            if dev_date is None and bool(dres.complete) and \
+                    int(dres.expiry_month):
+                dev_date = (int(dres.expiry_month), int(dres.expiry_year))
         o.scanner_destroy(handle)
         c["expiry_sessions"] += 1
         c["expiry_agree"] += int(ref_date == our_date)
+        c["expiry_dev_agree"] += int(ref_date == dev_date)
+        c["expiry_read_sessions"] += int(ref_date is not None)
         c["expiry_ref_correct"] += int(ref_date == want)
         c["expiry_our_correct"] += int(our_date == want)
 
@@ -152,13 +186,14 @@ def main():
 
     detect = jax.jit(lambda a, b, cc: api.detect_edges(a, b, cc))
     bounds = api.warp_src_bounds((480, 640), 3)
-    tf = jax.jit(lambda s, cp: api.transform_card(s, cp,
-                                                  src_bounds=bounds))
-    # cv-faithful research warp (per-pixel bilinear gather): attributes the
-    # dense two-pass residual — digits through THIS warp should track the
-    # reference almost exactly
+    # the round-3 serving default: the bit-exact fixed-point warp
+    tf = jax.jit(lambda s, cp: api.transform_card(s, cp, src_bounds=bounds,
+                                                  method="exact"))
+    # the full-float two-pass warp (the former serving default, kept as
+    # the better-than-reference precision configuration)
     tf_gather = jax.jit(lambda s, cp: api.transform_card(s, cp,
-                                                         method="gather"))
+                                                         src_bounds=bounds,
+                                                         method="dense"))
     for i in range(args.camera_frames):
         pan = synthetic.safe_pan(rng)
         card = np.asarray(synthetic.render_frame(
@@ -192,6 +227,7 @@ def main():
         our_card = np.asarray(tf(y, corners))
         diff = np.abs(our_card.astype(int) - ref_card.astype(int))
         c["cam_warp_close"] += int((diff <= 2).mean() > 0.99)
+        c["cam_warp_exact"] += int((diff == 0).all())
         ref = o.scan_card_image(ref_card, scan_expiry=False)
         ours = scan(our_card)
         if ref.usable and bool(ours.usable) and \
@@ -207,8 +243,8 @@ def main():
                 int(g.hseg.n_offsets) == ref.hseg_n_offsets:
             n = ref.hseg_n_offsets
             g_digits = list(map(int, np.asarray(g.scores).argmax(1)[:n]))
-            c["cam_gather_digits"] += n
-            c["cam_gather_digit_agree"] += sum(
+            c["cam_float_digits"] += n
+            c["cam_float_digit_agree"] += sum(
                 a == b for a, b in zip(g_digits, ref.digits))
 
     def pct(a, b):
@@ -232,15 +268,20 @@ def main():
         "session_ref_accuracy_pct": pct(c["session_ref_correct"], c["sessions"]),
         "expiry_sessions": c["expiry_sessions"],
         "expiry_date_agreement_pct": pct(c["expiry_agree"], c["expiry_sessions"]),
+        "expiry_device_date_agreement_pct": pct(
+            c["expiry_dev_agree"], c["expiry_sessions"]),
+        "expiry_sessions_ref_read": c["expiry_read_sessions"],
         "expiry_our_accuracy_pct": pct(c["expiry_our_correct"], c["expiry_sessions"]),
         "expiry_ref_accuracy_pct": pct(c["expiry_ref_correct"], c["expiry_sessions"]),
         "camera_frames": c["cam_frames"],
         "camera_found_agreement_pct": pct(c["cam_found_agree"], c["cam_frames"]),
         "camera_corner_exact_pct": pct(c["cam_corner_agree"], c["cam_both_found"]),
         "camera_warp_close_pct": pct(c["cam_warp_close"], c["cam_both_found"]),
+        "camera_warp_bit_exact_pct": pct(c["cam_warp_exact"],
+                                         c["cam_both_found"]),
         "camera_digit_agreement_pct": pct(c["cam_digit_agree"], c["cam_digits"]),
-        "camera_digit_agreement_gather_warp_pct": pct(
-            c["cam_gather_digit_agree"], c["cam_gather_digits"]),
+        "camera_digit_agreement_float_warp_pct": pct(
+            c["cam_float_digit_agree"], c["cam_float_digits"]),
     }
     print(json.dumps(report, indent=None if args.json else 2))
 

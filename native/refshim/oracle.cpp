@@ -16,7 +16,7 @@
 #include <cstring>
 
 #define REF_MAX_GROUPS 12
-#define REF_MAX_CHARS 16
+#define REF_MAX_CHARS 48  // pre-filter local groups can span a full stripe (~428/9 rects)
 
 extern "C" {
 
@@ -568,6 +568,18 @@ float ref_slash_prob(const int16_t *sobel, int top, int left) {
   cvReleaseImage(&as_float);
   cvReleaseImage(&simg);
   return probs(0, 0);
+}
+
+// gather_into_groups (expiry_seg.cpp:135-172) over caller-provided GROUPS
+// (with character rects) — the super-group gather the reference carries
+// disabled at expiry_seg.cpp:548 (tolerance 2 * kSmallCharacterWidth).
+void ref_gather_groups(const RefGroup *in, int n, int tolerance,
+                       RefGroup *out, int32_t *n_out) {
+  GroupedRectsList items;
+  for (int i = 0; i < n; i++) items.push_back(group_from_ref(&in[i]));
+  GroupedRectsList groups;
+  gather_into_groups(groups, items, tolerance);
+  copy_group_list(groups, out, n_out);
 }
 
 // gather_into_groups (expiry_seg.cpp:135-172) over bare 9x17 rects.

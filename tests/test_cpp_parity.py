@@ -426,6 +426,85 @@ def test_session_parity_final_pan():
 # ------------------------------------------------------------------ expiry
 
 
+def test_name_supergroup_path_parity():
+    """The flag-gated name super-group path (expiry_seg_host with
+    collect_name_groups=True) matches the compiled reference's OWN
+    gather/regrid/optimize internals invoked with the disabled call's
+    parameters (gather_into_groups(super, local, 2*kSmallCharacterWidth),
+    expiry_seg.cpp:544-548) — stage for stage on frames carrying a
+    name-like two-word line (13 px word gap: >=9 splits local groups,
+    <18 merges the super)."""
+    from cardio_dmz_tpu.refbridge.oracle import RefGroupResult
+    from cardio_dmz_tpu.scan import expiry_seg_host as H
+    from cardio_dmz_tpu.scan.expiry_types import (MIN_NAME_STRIP_CHARS,
+                                                  SMALL_CHAR_WIDTH)
+
+    def to_ref(g):
+        return RefGroupResult(
+            top=g.top, left=g.left, width=g.width, height=g.height,
+            character_width=g.character_width, pattern=0,
+            recently_seen_count=0, total_seen_count=0,
+            char_tops=[r.top for r in g.character_rects],
+            char_lefts=[r.left for r in g.character_rects],
+            char_sums=[r.sum for r in g.character_rects])
+
+    def assert_same(og, rg, what):
+        assert (og.top, og.left, og.width, og.height) == \
+            (rg.top, rg.left, rg.width, rg.height), what
+        assert [r.top for r in og.character_rects] == rg.char_tops, what
+        assert [r.left for r in og.character_rects] == rg.char_lefts, what
+        assert [r.sum for r in og.character_rects] == rg.char_sums, what
+
+    multi_local_supers = 0
+    survivors = 0
+    for i in range(4):
+        y = np.asarray(synthetic.render_frame_with_expiry(
+            "4111111111111111", "08/28", seed=i), np.uint8)
+        y = np.asarray(synthetic.render_text_small(
+            y, "1234 56789", 150 + 27 + 35 + 26, 100), np.uint8)
+        sobel = H.scharr_dx_abs_below(y, 150)
+        for base, total in H.select_stripes(sobel, 150):
+            local = H.local_groups_for_stripe(sobel, base, total)
+            if not local:
+                continue
+            ours = H.gather_into_groups(local, 2 * SMALL_CHAR_WIDTH)
+            refs = _oracle().gather_groups([to_ref(g) for g in local],
+                                           2 * SMALL_CHAR_WIDTH)
+            assert len(ours) == len(refs)
+            for og, rg in zip(ours, refs):
+                assert_same(og, rg, "gather")
+                if len(og.character_rects) > max(
+                        len(g.character_rects) for g in local):
+                    multi_local_supers += 1
+                if len(og.character_rects) < MIN_NAME_STRIP_CHARS - 1:
+                    continue
+                H.regrid_group(sobel, og)
+                rg = _oracle().regrid_group(sobel, rg)
+                assert_same(og, rg, "regrid")
+                H.optimize_character_rects(sobel, og)
+                rg = _oracle().optimize_character_rects(sobel, rg)
+                assert_same(og, rg, "optimize")
+                if len(og.character_rects) >= MIN_NAME_STRIP_CHARS:
+                    survivors += 1
+    # the sweep must actually exercise multi-local-group supers and
+    # full-path survivors, not just degenerate single groups
+    assert multi_local_supers >= 1
+    assert survivors >= 2
+
+    # end-to-end: the flag returns name groups, and the flag OFF (the
+    # serving default, matching the reference's disabled path) returns none
+    params = _params()
+    y = np.asarray(synthetic.render_frame_with_expiry(
+        "4111111111111111", "08/28", seed=0), np.uint8)
+    y = np.asarray(synthetic.render_text_small(
+        y, "1234 56789", 150 + 27 + 35 + 26, 100), np.uint8)
+    _, names_on = H.best_expiry_seg(y, 150, params["slash_mlp"],
+                                    collect_name_groups=True)
+    _, names_off = H.best_expiry_seg(y, 150, params["slash_mlp"])
+    assert names_off == []
+    assert len(names_on) >= 1
+
+
 def test_expiry_seg_parity_host_vs_reference():
     """Host expiry segmentation == compiled reference, group for group
     (tops, lefts, pattern), on synthetic expiry frames."""
@@ -446,6 +525,70 @@ def test_expiry_seg_parity_host_vs_reference():
             assert rg.char_tops == [r.top for r in og.character_rects]
             assert rg.char_lefts == [r.left for r in og.character_rects]
     assert frames_with_groups >= 2
+
+
+def test_expiry_session_randomized_device_parity():
+    """Randomized expiry sessions (dates incl. past/out-of-window, layout,
+    spacing, noise): the DEVICE in-graph expiry path (scanner_step with
+    scan_expiry) and the host oracle both agree with the compiled
+    reference session date-for-date. The A/B runs the CYTHON_DMZ
+    date-sanity configuration (expiry_allow_past_dates=True) because the
+    compiled oracle IS that configuration (expiry_categorize.cpp:382-397).
+    The full-scale sweep (100+ sessions) lives in tools/parity_ab.py;
+    this is its CI-sized pin."""
+    import jax
+    from cardio_dmz_tpu.config import ScanConfig
+    from cardio_dmz_tpu.session.host import HostScanner
+    from cardio_dmz_tpu.session.state import scanner_reset, scanner_step
+
+    params = _params()
+    cfg = ScanConfig(scan_expiry=True, expiry_allow_past_dates=True)
+    dev_step = jax.jit(lambda st, y: scanner_step(params, st, y, config=cfg))
+    rng = np.random.default_rng(77)
+    now = (2026, 8)
+    read_sessions = 0
+    for s in range(8):
+        if s == 3:
+            text = "01/22"   # past date: the CYTHON_DMZ branch accepts it
+        elif s == 7:
+            text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(33, 39))
+        else:
+            text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(27, 31))
+        y0 = int(rng.integers(145, 200))
+        ex = int(rng.integers(95, 160))
+        ey = min(y0 + 27 + int(rng.integers(30, 44)), 252)
+        spacing = int(rng.integers(12, 15))
+        pan = synthetic.safe_pan(rng)
+
+        ours = HostScanner(params, scan_expiry=True, now=now,
+                           allow_past_dates=True)
+        dev = scanner_reset(now=now)
+        handle = _oracle().scanner_create()
+        try:
+            ref_date = our_date = dev_date = None
+            for i in range(12):
+                y = np.asarray(synthetic.render_frame_with_expiry(
+                    pan, text, y0=y0, expiry_y=ey, expiry_x=ex,
+                    expiry_spacing=spacing, seed=5100 * s + i), np.uint8)
+                ours.add_frame(y)
+                dev, (_, dres) = dev_step(dev, y)
+                _oracle().scanner_add_frame(handle, y, scan_expiry=True)
+                r = _oracle().scanner_result(handle)
+                if ref_date is None and r and r[1] and r[2]:
+                    ref_date = (r[1], r[2])
+                res = ours.result()
+                if our_date is None and res.complete and res.expiry_month:
+                    our_date = (res.expiry_month, res.expiry_year)
+                if dev_date is None and bool(dres.complete) and \
+                        int(dres.expiry_month):
+                    dev_date = (int(dres.expiry_month),
+                                int(dres.expiry_year))
+        finally:
+            _oracle().scanner_destroy(handle)
+        assert our_date == ref_date, (s, text, our_date, ref_date)
+        assert dev_date == ref_date, (s, text, dev_date, ref_date)
+        read_sessions += int(ref_date is not None)
+    assert read_sessions >= 2   # the sweep must exercise real reads
 
 
 def test_expiry_session_date_parity():
