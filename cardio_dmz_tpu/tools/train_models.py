@@ -50,7 +50,12 @@ def _spec(model):
     }[model]
 
 
-def train_one(model, steps, batch, lr, mesh, seed=0):
+# the ported golden weights playing each architecture's role
+_GOLDEN = {"pan_conv": "pan_conv_a", "vseg_mlp": "vseg_mlp",
+           "slash_mlp": "slash_mlp", "expiry_conv": "expiry_conv"}
+
+
+def train_one(model, steps, batch, lr, mesh, seed=0, compare_golden=False):
     from cardio_dmz_tpu.train import fit
 
     init_fn, loss_fn, apply_fn, data_fn = _spec(model)
@@ -69,8 +74,22 @@ def train_one(model, steps, batch, lr, mesh, seed=0):
     inputs, labels = data_fn(np.random.RandomState(seed + 99), 512)
     pred = np.asarray(apply_fn(params, inputs)).argmax(-1)
     acc = float((pred == labels).mean())
-    print(f"[{model}] eval accuracy: {acc:.3f} (final loss {losses[-1]:.4f})")
-    return params, acc
+    golden_acc = None
+    if compare_golden:
+        # the ported golden weights on the SAME held-out eval: the
+        # falsifiable bar for "retraining reaches the ported models"
+        # on this synthetic distribution (the goldens were trained on
+        # real embossed crops, so they are a strong but beatable bar
+        # on DejaVu-rendered data)
+        from cardio_dmz_tpu.models.weights import load_params
+        gp = load_params(_GOLDEN[model])
+        gpred = np.asarray(apply_fn(gp, inputs)).argmax(-1)
+        golden_acc = float((gpred == labels).mean())
+    msg = f"[{model}] retrained eval accuracy: {acc:.3f} (final loss {losses[-1]:.4f})"
+    if golden_acc is not None:
+        msg += f" | golden ported weights on same eval: {golden_acc:.3f}"
+    print(msg)
+    return params, acc, golden_acc
 
 
 def main():
@@ -85,6 +104,10 @@ def main():
     ap.add_argument("--out", default="/tmp/retrained.npz")
     ap.add_argument("--mesh", action="store_true",
                     help="shard the train step over all local devices")
+    ap.add_argument("--compare-golden", action="store_true",
+                    help="also evaluate the ported golden weights on the "
+                         "same held-out eval and print a comparison table")
+    ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
     from cardio_dmz_tpu.session.checkpoint import save_params
@@ -97,12 +120,19 @@ def main():
     models = (["pan_conv", "vseg_mlp", "slash_mlp", "expiry_conv"]
               if args.model == "all" else [args.model])
     out = {}
+    table = {}
     for m in models:
-        params, acc = train_one(m, args.steps, args.batch, args.lr, mesh)
+        params, acc, gacc = train_one(m, args.steps, args.batch, args.lr,
+                                      mesh, compare_golden=args.compare_golden)
         out[m] = {k: np.asarray(v) for k, v in params.items()}
+        table[m] = {"retrained_acc": acc, "golden_acc": gacc,
+                    "steps": args.steps, "batch": args.batch}
 
     save_params(args.out, out)
     print(f"saved: {args.out}")
+    if args.json:
+        import json
+        print(json.dumps(table))
     return 0
 
 

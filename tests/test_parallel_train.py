@@ -126,7 +126,7 @@ def test_all_five_architectures_train():
 
     floors = {"vseg_mlp": 0.9, "slash_mlp": 0.95, "expiry_conv": 0.9}
     for model, floor in floors.items():
-        _, acc = train_one(model, steps=120, batch=64, lr=3e-3, mesh=None)
+        _, acc, _ = train_one(model, steps=120, batch=64, lr=3e-3, mesh=None)
         assert acc > floor, f"{model}: {acc}"
     # pan_conv covered by test_real_digit_training_improves_accuracy
 
@@ -181,3 +181,16 @@ def test_session_migration_across_mesh_shapes(tmp_path):
     np.testing.assert_array_equal(np.asarray(res_straight.predictions),
                                   np.asarray(res_migrated.predictions))
     assert np.asarray(res_migrated.complete).any()
+
+
+def test_sharded_step_partitioning_overhead():
+    """Sharding the serving step over the 8-device virtual mesh must not
+    add material partitioning overhead: with a FIXED global batch on a
+    shared host, total work is constant, so ideal SPMD keeps step time
+    flat (efficiency t_1/t_8 ~ 1.0; SCALING.md). Floor 0.7 per the
+    round-2 review's prescription."""
+    from cardio_dmz_tpu.tools.scaling_curve import run
+
+    results = run(global_batch=16, iters=3, sizes=(1, 8))
+    eff = results[8]["efficiency_vs_1dev"]
+    assert eff >= 0.7, results
