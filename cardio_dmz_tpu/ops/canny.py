@@ -207,6 +207,80 @@ def _run_flood_doubling(edge, candidate, axis):
     return v | u
 
 
+# ---------------------------------------------------------------------------
+# bit-packed mask machinery: 32 columns per uint32 word. The hysteresis
+# sweeps are pure boolean recurrences, so packing shrinks their data (and
+# the vector op count) 32x; the recurrences below are the SAME ones the
+# unpacked forms implement, evaluated per bit lane.
+
+def _pack_bits(mask):
+    """(..., H, W) bool -> (..., H, ceil(W/32)) uint32. Bit k of word i
+    holds column 32*i + k; pad columns are 0 (= not-candidate, matching
+    the unpacked forms' zero fill)."""
+    w = mask.shape[-1]
+    nw = -(-w // 32)
+    m = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1) + [(0, nw * 32 - w)])
+    m = m.reshape(m.shape[:-1] + (nw, 32)).astype(jnp.uint32)
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(m * weights, axis=-1, dtype=jnp.uint32)
+
+
+def _unpack_bits(words, w):
+    """Inverse of _pack_bits: (..., H, nw) uint32 -> (..., H, w) bool."""
+    bits = (words[..., :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    return (bits.reshape(words.shape[:-1] + (-1,)) != 0)[..., :w]
+
+
+def _wshift(words, k):
+    """Word-granular column shift: out[i] = words[i - k], zero fill."""
+    return _shift2d(words, 0, -k)
+
+
+def _shift_cols_packed(words, s):
+    """Bit-granular column shift: out bit c = in bit (c - s), zero fill.
+    s: static python int (any sign/magnitude)."""
+    if s == 0:
+        return words
+    if s > 0:
+        q, r = divmod(s, 32)
+        if r == 0:
+            return _wshift(words, q)
+        return (_wshift(words, q) << jnp.uint32(r)) | \
+            (_wshift(words, q + 1) >> jnp.uint32(32 - r))
+    q, r = divmod(-s, 32)
+    if r == 0:
+        return _wshift(words, -q)
+    return (_wshift(words, -q) >> jnp.uint32(r)) | \
+        (_wshift(words, -q - 1) << jnp.uint32(32 - r))
+
+
+def _dilate8_packed(words):
+    h = words | _shift_cols_packed(words, 1) | _shift_cols_packed(words, -1)
+    return h | _shift2d(h, 1, 0) | _shift2d(h, -1, 0)
+
+
+def _flood_packed(edge, cand, axis, n):
+    """The `_run_flood_doubling` recurrence on packed words. axis=-1
+    floods along columns (bit-granular shifts, n = true column count);
+    axis=-2 floods along rows (word layout unchanged, n = row count)."""
+    def sh(x, s):
+        if axis == -1:
+            return _shift_cols_packed(x, s)
+        return _shift2d(x, -s, 0)
+
+    v, u = edge, edge
+    r_cov, l_cov = cand, cand
+    d = 1
+    while d < n:
+        v = v | (sh(v, d) & r_cov)
+        u = u | (sh(u, -d) & l_cov)
+        if 2 * d < n:
+            r_cov = r_cov & sh(r_cov, d)
+            l_cov = l_cov & sh(l_cov, -d)
+        d *= 2
+    return v | u
+
+
 def hysteresis_bounded(candidate, strong, sweeps=DEFAULT_SWEEPS):
     """Hysteresis with a STATIC sweep count (content-independent cost).
 
@@ -228,7 +302,30 @@ def hysteresis_bounded(candidate, strong, sweeps=DEFAULT_SWEEPS):
     where the bounded form degrades conservatively (subset of the flood).
     The regression tests assert flood-equality on rendered camera bands
     and the sandwich property on adversarial percolation mazes.
+
+    Implementation: the sweeps run BIT-PACKED (32 columns per uint32
+    word, `_pack_bits`) — the same dilate/flood recurrences on 32x less
+    data; `tests/test_ops.py::test_hysteresis_packed_equals_unpacked`
+    pins equality with the unpacked boolean form.
     """
+    w = candidate.shape[-1]
+    h = candidate.shape[-2]
+    cand = _pack_bits(candidate)
+    edge = _pack_bits(strong & candidate)
+
+    def body(_, edge):
+        edge = (_dilate8_packed(edge) & cand) | edge
+        edge = _flood_packed(edge, cand, axis=-1, n=w)
+        edge = _flood_packed(edge, cand, axis=-2, n=h)
+        return edge
+
+    edge = lax.fori_loop(0, sweeps, body, edge, unroll=True)
+    return _unpack_bits(edge, w)
+
+
+def hysteresis_bounded_unpacked(candidate, strong, sweeps=DEFAULT_SWEEPS):
+    """The boolean-mask form of `hysteresis_bounded` (same recurrences,
+    no packing) — kept as the equivalence oracle for the packed form."""
     edge = strong & candidate
 
     def body(_, edge):

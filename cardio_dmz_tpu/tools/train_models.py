@@ -108,7 +108,14 @@ def main():
                     help="also evaluate the ported golden weights on the "
                          "same held-out eval and print a comparison table")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (set BEFORE jax touches a "
+                         "device; the axon TPU plugin ignores JAX_PLATFORMS)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from cardio_dmz_tpu.session.checkpoint import save_params
 

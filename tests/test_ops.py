@@ -200,6 +200,38 @@ def test_bounded_hysteresis_sandwich_on_percolating_noise():
         prev = got
 
 
+def test_hysteresis_packed_equals_unpacked():
+    """The bit-packed hysteresis (32 cols/uint32 word, the serving form)
+    equals the boolean-mask form bit for bit — random masks, widths that
+    are not multiples of 32, several densities and sweep counts."""
+    import jax
+    import jax.numpy as jnp
+    from cardio_dmz_tpu.ops.canny import (hysteresis_bounded,
+                                          hysteresis_bounded_unpacked)
+
+    rng = np.random.RandomState(11)
+    for trial in range(8):
+        h = rng.randint(3, 70)
+        w = rng.randint(3, 300)
+        cand = rng.rand(h, w) < rng.uniform(0.2, 0.8)
+        strong = cand & (rng.rand(h, w) < 0.05)
+        sweeps = rng.randint(1, 4)
+        a = np.asarray(jax.jit(hysteresis_bounded_unpacked,
+                               static_argnums=2)(
+            jnp.asarray(cand), jnp.asarray(strong), sweeps))
+        b = np.asarray(jax.jit(hysteresis_bounded, static_argnums=2)(
+            jnp.asarray(cand), jnp.asarray(strong), sweeps))
+        np.testing.assert_array_equal(b, a, err_msg=f"trial {trial}")
+    # batched (the stream-vmapped serving shape)
+    cand = rng.rand(4, 40, 231) < 0.5
+    strong = cand & (rng.rand(4, 40, 231) < 0.05)
+    a = np.asarray(hysteresis_bounded_unpacked(jnp.asarray(cand),
+                                               jnp.asarray(strong)))
+    b = np.asarray(hysteresis_bounded(jnp.asarray(cand),
+                                      jnp.asarray(strong)))
+    np.testing.assert_array_equal(b, a)
+
+
 def test_run_flood_matches_scalar_oracle():
     """Both run-flood forms (ops/canny._run_flood_scan for CPU,
     _run_flood_doubling for TPU) light exactly the candidates whose
