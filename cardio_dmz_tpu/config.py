@@ -30,6 +30,16 @@ class ScanConfig:
     #                                   configuration; A/B sweeps set True
 
     # execution
+    latency_shape: bool = False       # batch-1-specialized graph: per-lane
+    #                                   dynamic slices where the throughput
+    #                                   graph uses one-hot contractions.
+    #                                   Identical results; the one-hot forms
+    #                                   add flat work a single stream cannot
+    #                                   amortize, while dynamic_slice is
+    #                                   cheap un-vmapped but lowers to
+    #                                   serial per-lane slice chains under
+    #                                   the stream vmap — pick per shape
+    #                                   (bench.py --latency sets it)
     use_pallas: bool = False          # pallas digit-prep kernel (bit-exact;
     #                                   wins for single-frame latency paths,
     #                                   loses under the vmapped stream batch

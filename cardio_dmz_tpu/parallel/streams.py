@@ -19,12 +19,14 @@ def init_stream_states(n_streams):
     return jax.vmap(lambda _: scanner_reset())(jax.numpy.arange(n_streams))
 
 
-def batched_scanner_step(params, states, frames, scan_expiry=False):
+def batched_scanner_step(params, states, frames, scan_expiry=False,
+                         config=None):
     """One step for every stream. frames: (S, 270, 428) u8;
     states: stream-major ScannerState pytree. Returns (states, (frame
-    results, scanner results)) all stream-major."""
+    results, scanner results)) all stream-major. config: static
+    ScanConfig (overrides scan_expiry; e.g. latency_shape)."""
     def step(state, y):
-        return scanner_step(params, state, y, scan_expiry)
+        return scanner_step(params, state, y, scan_expiry, config=config)
     return jax.vmap(step)(states, frames)
 
 

@@ -13,6 +13,7 @@ with no host round-trips — the BASELINE.json north-star shape.
 import typing
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import DEFAULT_CONFIG
 
@@ -108,18 +109,24 @@ def scan_card_image(params, y, collect_card_number=None, scan_expiry=False,
 
     # PAN strip: 27 rows at the vseg offset (frame.cpp:50), fetched as a
     # one-hot row contraction (a batched dynamic_slice under the stream
-    # vmap lowers to per-lane slice sequences; u8 values are exact)
+    # vmap lowers to per-lane slice sequences; u8 values are exact).
+    # latency_shape picks the plain dynamic_slice (batch-1 serving).
     y_off = jnp.clip(vseg.y_offset, 0, CARD_HEIGHT - NUMBER_HEIGHT)
-    rsel = ((y_off + jnp.arange(NUMBER_HEIGHT))[:, None]
-            == jnp.arange(CARD_HEIGHT)[None, :]).astype(jnp.float32)
-    strip = jnp.einsum("xr,rc->xc", rsel,
-                       y.astype(jnp.float32)).astype(y.dtype)
+    if config.latency_shape:
+        strip = lax.dynamic_slice(y, (y_off, jnp.zeros((), y_off.dtype)),
+                                  (NUMBER_HEIGHT, y.shape[-1]))
+    else:
+        rsel = ((y_off + jnp.arange(NUMBER_HEIGHT))[:, None]
+                == jnp.arange(CARD_HEIGHT)[None, :]).astype(jnp.float32)
+        strip = jnp.einsum("xr,rc->xc", rsel,
+                           y.astype(jnp.float32)).astype(y.dtype)
 
     hseg = best_n_hseg(strip, vseg.pattern_type, vseg.number_length)
     from ..utils.platform import has_pallas_tpu
     use_pallas = config.use_pallas and has_pallas_tpu()
     scores = number_scores(params, strip, hseg.offsets, hseg.n_offsets,
-                           use_pallas=use_pallas)
+                           use_pallas=use_pallas,
+                           latency_shape=config.latency_shape)
 
     number_score = hseg.n_offsets.astype(jnp.float32) - jnp.sum(scores)
     number_usable = number_score < MAX_NUMBER_SCORE_DELTA

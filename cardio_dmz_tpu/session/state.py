@@ -142,7 +142,8 @@ def _accumulate(state: ScannerState, frame: FrameResult) -> ScannerState:
 
 def scanner_add_frame(params, state: ScannerState, y,
                       scan_expiry=False, telemetry=None,
-                      frame_gate=None, allow_past_dates=False) -> tuple:
+                      frame_gate=None, allow_past_dates=False,
+                      config=None) -> tuple:
     """scanner_add_frame_with_expiry (scan.cpp:41-86): run the frame
     pipeline and fold the result into the session state.
 
@@ -158,9 +159,14 @@ def scanner_add_frame(params, state: ScannerState, y,
     expiry_gate = still_need_expiry
     if frame_gate is not None:
         expiry_gate = expiry_gate & frame_gate
-    frame = scan_card_image(params, y, scan_expiry=scan_expiry,
-                            expiry_gate=expiry_gate,
-                            telemetry=telemetry)
+    if config is not None:
+        frame = scan_card_image(params, y, scan_expiry=scan_expiry,
+                                expiry_gate=expiry_gate,
+                                telemetry=telemetry, config=config)
+    else:
+        frame = scan_card_image(params, y, scan_expiry=scan_expiry,
+                                expiry_gate=expiry_gate,
+                                telemetry=telemetry)
     if frame_gate is not None:
         frame = frame._replace(usable=frame.usable & frame_gate)
 
@@ -294,7 +300,8 @@ def scanner_step(params, state: ScannerState, y, scan_expiry=False,
     state, frame = scanner_add_frame(params, state, y, scan_expiry,
                                      telemetry=telemetry,
                                      frame_gate=frame_gate,
-                                     allow_past_dates=allow_past_dates)
+                                     allow_past_dates=allow_past_dates,
+                                     config=config)
     state, result = scanner_result(state, scan_forever=scan_forever)
     return state, (frame, result)
 

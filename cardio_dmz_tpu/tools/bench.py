@@ -22,9 +22,9 @@ BASELINE_FPS = 22.0
 
 def main():
     ap = argparse.ArgumentParser()
-    # the north-star serving shape (256 concurrent 30 fps streams in one
-    # graph) is also the fastest batch again since the table-driven hseg:
-    # 8,704 fps at 256 vs 8,077 at 64 (2026-08-17)
+    # the north-star serving shape: 256 concurrent 30 fps streams in one
+    # graph (the fastest measured batch; see README/CLAUDE.md for the
+    # driver-captured numbers)
     ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
@@ -118,10 +118,16 @@ def main():
         inputs = tuple(map(jax.device_put, (y, cb, cr)))
         metric = "camera_pipeline_throughput"
     else:
+        from cardio_dmz_tpu.config import ScanConfig
+        # batch 1 cannot amortize the one-hot throughput forms' flat
+        # work; the latency bench runs the batch-1-specialized graph
+        scan_config = ScanConfig(scan_expiry=args.expiry,
+                                 latency_shape=args.latency)
+
         @jax.jit
         def step(states, frames):
             states, (frame_results, results) = batched_scanner_step(
-                params, states, frames, scan_expiry=args.expiry)
+                params, states, frames, config=scan_config)
             return states, results.complete
 
         frames = rng.randint(0, 256,

@@ -203,3 +203,44 @@ def test_aggregate_digit_accuracy_on_usable_frames():
             total += 16
     assert usable.sum() >= 16          # most varied configs are scannable
     assert correct / total >= 0.90
+
+
+def test_latency_shape_config_identical_results():
+    """ScanConfig(latency_shape=True) — the batch-1 serving graph with
+    dynamic-slice fetches instead of one-hot contractions — produces
+    IDENTICAL FrameResults and session outcomes to the throughput graph."""
+    import jax
+    import numpy as np
+    from synthetic import render_frame, safe_pan
+    from cardio_dmz_tpu.config import ScanConfig
+    from cardio_dmz_tpu.session.state import scanner_reset, scanner_step
+
+    params = _params()
+    cfg_t = ScanConfig(scan_expiry=True)
+    cfg_l = ScanConfig(scan_expiry=True, latency_shape=True)
+    step_t = jax.jit(lambda st, y: scanner_step(params, st, y, config=cfg_t))
+    step_l = jax.jit(lambda st, y: scanner_step(params, st, y, config=cfg_l))
+
+    pan = safe_pan(np.random.default_rng(5))
+    st_t = scanner_reset(now=(2026, 8))
+    st_l = scanner_reset(now=(2026, 8))
+    for i in range(5):
+        y = np.asarray(render_frame(pan, seed=i, noise=1, y0=160),
+                       np.uint8)
+        st_t, (fr_t, res_t) = step_t(st_t, y)
+        st_l, (fr_l, res_l) = step_l(st_l, y)
+        np.testing.assert_array_equal(np.asarray(fr_t.scores),
+                                      np.asarray(fr_l.scores))
+        np.testing.assert_array_equal(np.asarray(fr_t.usable),
+                                      np.asarray(fr_l.usable))
+        np.testing.assert_array_equal(np.asarray(res_t.complete),
+                                      np.asarray(res_l.complete))
+        np.testing.assert_array_equal(np.asarray(res_t.predictions),
+                                      np.asarray(res_l.predictions))
+    # the PAN must actually have resolved (the sweep exercised real reads;
+    # full `complete` additionally needs an expiry read or the 30-frame
+    # grace, which 5 expiry-less frames deliberately don't provide)
+    assert bool(st_t.number_complete) and bool(st_l.number_complete)
+    got = "".join(map(str, np.asarray(st_t.completed_digits)[
+        :int(st_t.completed_n)]))
+    assert got == pan
