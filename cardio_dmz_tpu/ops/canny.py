@@ -214,26 +214,34 @@ def _run_flood_doubling(edge, candidate, axis):
 # unpacked forms implement, evaluated per bit lane.
 
 def _pack_bits(mask):
-    """(..., H, W) bool -> (..., H, ceil(W/32)) uint32. Bit k of word i
+    """(..., H, W) bool -> (..., ceil(W/32), H) uint32. Bit k of word i
     holds column 32*i + k; pad columns are 0 (= not-candidate, matching
-    the unpacked forms' zero fill)."""
+    the unpacked forms' zero fill).
+
+    Layout note: the word axis goes on -2 (sublanes) and H stays on -1
+    (lanes) — with only 4-8 words per detection canvas, words-on-lanes
+    would waste the TPU's 128-lane vregs on padding; H-on-lanes keeps
+    every packed op ~word_count/32 of the unpacked cost."""
     w = mask.shape[-1]
     nw = -(-w // 32)
     m = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1) + [(0, nw * 32 - w)])
     m = m.reshape(m.shape[:-1] + (nw, 32)).astype(jnp.uint32)
     weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-    return jnp.sum(m * weights, axis=-1, dtype=jnp.uint32)
+    packed = jnp.sum(m * weights, axis=-1, dtype=jnp.uint32)  # (..., H, nw)
+    return jnp.swapaxes(packed, -1, -2)
 
 
 def _unpack_bits(words, w):
-    """Inverse of _pack_bits: (..., H, nw) uint32 -> (..., H, w) bool."""
-    bits = (words[..., :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
-    return (bits.reshape(words.shape[:-1] + (-1,)) != 0)[..., :w]
+    """Inverse of _pack_bits: (..., nw, H) uint32 -> (..., H, w) bool."""
+    wt = jnp.swapaxes(words, -1, -2)                     # (..., H, nw)
+    bits = (wt[..., :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    return (bits.reshape(wt.shape[:-1] + (-1,)) != 0)[..., :w]
 
 
 def _wshift(words, k):
-    """Word-granular column shift: out[i] = words[i - k], zero fill."""
-    return _shift2d(words, 0, -k)
+    """Word-granular column shift: out[i] = words[i - k], zero fill.
+    Words live on axis -2."""
+    return _shift2d(words, -k, 0)
 
 
 def _shift_cols_packed(words, s):
@@ -255,18 +263,20 @@ def _shift_cols_packed(words, s):
 
 
 def _dilate8_packed(words):
+    # rows live on axis -1 in the packed layout
     h = words | _shift_cols_packed(words, 1) | _shift_cols_packed(words, -1)
-    return h | _shift2d(h, 1, 0) | _shift2d(h, -1, 0)
+    return h | _shift2d(h, 0, 1) | _shift2d(h, 0, -1)
 
 
 def _flood_packed(edge, cand, axis, n):
     """The `_run_flood_doubling` recurrence on packed words. axis=-1
-    floods along columns (bit-granular shifts, n = true column count);
-    axis=-2 floods along rows (word layout unchanged, n = row count)."""
+    floods along image COLUMNS (bit-granular shifts, n = true column
+    count); axis=-2 floods along image ROWS (which live on the packed
+    layout's last axis, n = row count)."""
     def sh(x, s):
         if axis == -1:
             return _shift_cols_packed(x, s)
-        return _shift2d(x, -s, 0)
+        return _shift2d(x, 0, -s)
 
     v, u = edge, edge
     r_cov, l_cov = cand, cand
