@@ -12,11 +12,14 @@ TPU-native dense reformulation of the reference's stack-based algorithm
   formulations:
   - `hysteresis_bounded` (serving default): a STATIC number of sweeps,
     each = one 8-neighbor dilate step + full horizontal and vertical
-    run-flooding (cummax-based segment fills). Content-independent cost,
-    no while_loop in the serving graph. Equivalence: after k sweeps every
-    candidate whose run-alternation distance from a strong pixel is <= k
-    is lit (see `hysteresis_bounded` docstring for the argument + the
-    measured margins behind DEFAULT_SWEEPS).
+    run-flooding, evaluated BIT-PACKED (32 columns per uint32 word).
+    Content-independent cost, no while_loop in the serving graph.
+    Equivalence: after k sweeps every candidate whose run-alternation
+    distance from a strong pixel is <= k is lit (see the function
+    docstring for the argument + the measured margins behind
+    DEFAULT_SWEEPS). The unpacked boolean twin
+    (`hysteresis_bounded_unpacked`, whose run floods are prefix scans on
+    CPU / log-doubling on TPU) is the tested equivalence oracle.
   - `hysteresis` (research/oracle): dilate-and-mask iterated to a fixed
     point with lax.while_loop — exact flood, data-dependent trip count.
 
