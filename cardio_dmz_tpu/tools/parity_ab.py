@@ -133,19 +133,32 @@ def main():
     dev_step = jax.jit(
         lambda st, y: scanner_step(params, st, y, config=ab_config))
     now = (2026, 8)
+    reliable = list(synthetic.RELIABLE_EXPIRY_DATES)
     for s in range(args.expiry_sessions):
         if s % 8 == 7:       # out-of-window date: rejection agreement
             text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(32, 40))
         elif s % 8 == 3:     # past date
             text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(20, 26))
-        else:                # in the [now, now+5y] acceptance window
+        elif s % 2 == 0:     # reliable-renderer date (higher read rate —
+            #                  randomized PAN/row/noise still vary layout)
+            text = reliable[int(rng.integers(0, len(reliable)))]
+        else:                # fully random in-window date
             text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(27, 31))
         want = (int(text[:2]), 2000 + int(text[3:]))
-        y0 = int(rng.integers(145, 205))
-        ex = int(rng.integers(90, 170))
-        ey = min(y0 + 27 + int(rng.integers(30, 46)), 252)  # slash fits card
-        spacing = int(rng.integers(12, 15))
-        noise = int(rng.integers(0, 3))
+        if s % 2 == 0 and s % 8 not in (3, 7):
+            # reliable layout: the renderer configuration the reference
+            # reads best (synthetic.py), date/PAN/row/noise randomized
+            y0 = int(rng.integers(148, 180))
+            ex = 120
+            ey = y0 + 27 + 35
+            spacing = 13
+            noise = int(rng.integers(0, 2))
+        else:
+            y0 = int(rng.integers(145, 205))
+            ex = int(rng.integers(90, 170))
+            ey = min(y0 + 27 + int(rng.integers(30, 46)), 252)
+            spacing = int(rng.integers(12, 15))
+            noise = int(rng.integers(0, 3))
         pan = synthetic.safe_pan(rng)
 
         ours = HostScanner(params, scan_expiry=True, now=now,
