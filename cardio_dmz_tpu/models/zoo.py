@@ -22,6 +22,7 @@ identical on the pipeline).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -161,3 +162,72 @@ def apply_expiry_conv(params, img, return_intermediates=False):
                 a2.reshape(batch_shape + (40, 3)),
                 h.reshape(batch_shape + (176,)))
     return probs.reshape(batch_shape + (10,))
+
+
+def _conv_as_matmul_tables(in_hw, out_hw, k, pad):
+    """Static (flat_idx, mask) tables mapping a KxK correlation with the
+    given (lo-)padding onto one dense matmul: M[p, q] = w_flat[flat_idx[p,q]]
+    * mask[p, q], where p indexes input pixels row-major and q output
+    positions row-major. Each M column holds the kernel taps that touch
+    that output — the conv becomes x_flat @ M."""
+    ih, iw = in_hw
+    oh, ow = out_hw
+    r = np.arange(ih)[:, None, None, None]
+    c = np.arange(iw)[None, :, None, None]
+    i = np.arange(oh)[None, None, :, None]
+    j = np.arange(ow)[None, None, None, :]
+    ki = r - i + pad[0]
+    kj = c - j + pad[1]
+    valid = (ki >= 0) & (ki < k) & (kj >= 0) & (kj < k)
+    flat = (np.clip(ki, 0, k - 1) * k + np.clip(kj, 0, k - 1))
+    flat = flat.reshape(ih * iw, oh * ow)
+    mask = valid.reshape(ih * iw, oh * ow)
+    return jnp.asarray(flat, jnp.int32), jnp.asarray(mask, jnp.float32)
+
+
+# expiry conv1: 16x11 input, 5x5 kernel, padding lo (4, 4) -> 20x14 out
+_EXP_C1_IDX, _EXP_C1_MASK = _conv_as_matmul_tables((16, 11), (20, 14), 5,
+                                                   (4, 4))
+# expiry conv2: 10x7 input (per map), 5x5 valid -> 6x3 out
+_EXP_C2_IDX, _EXP_C2_MASK = _conv_as_matmul_tables((10, 7), (6, 3), 5, (0, 0))
+
+
+def apply_expiry_conv_mm(params, img):
+    """apply_expiry_conv with both 5x5 convolutions lowered as single dense
+    matmuls (im2col folded into the weights). Bitwise-identical math per
+    output tap set; summation order differs only by interleaved exact
+    zeros, so results match apply_expiry_conv to float-rounding noise
+    (<1e-6; the serving path only needs stable argmaxes and the host/golden
+    tests keep the conv form).
+
+    Why: 5x5 convs on 16x11 cells tile terribly onto the MXU (measured
+    2.2 ms/step @256 streams); as (N,176)@(176,14000) and
+    (N,3500)@(3500,720) matmuls the same math is MXU-shaped.
+    """
+    if img.shape[-2:] != (16, 11):
+        raise ValueError(
+            f"expiry digit cell must be (..., 16, 11) (H, W); got {img.shape}")
+    batch_shape = img.shape[:-2]
+    x = img.reshape((-1, 176))
+    x = x - x.mean(axis=-1, keepdims=True)
+    n = x.shape[0]
+
+    w1 = params["conv1_w"].reshape(50, 25)            # (50, 5*5)
+    m1 = w1[:, _EXP_C1_IDX] * _EXP_C1_MASK            # (50, 176, 280)
+    m1 = m1.transpose(1, 0, 2).reshape(176, 50 * 280)
+    c1 = _dot(x, m1).reshape(n, 50, 20, 14)
+    p1 = c1.reshape(n, 50, 10, 2, 7, 2).max(axis=(3, 5))   # (N, 50, 10, 7)
+    a1 = jnp.maximum(p1 + params["conv1_b"][None, :, None, None], 0.0)
+
+    w2 = params["conv2_w"].reshape(40, 50, 25)
+    m2 = w2[:, :, _EXP_C2_IDX] * _EXP_C2_MASK         # (40, 50, 70, 18)
+    m2 = m2.transpose(1, 2, 0, 3).reshape(50 * 70, 40 * 18)
+    c2 = _dot(a1.reshape(n, 3500), m2).reshape(n, 40, 6, 3)
+    p2 = c2.reshape(n, 40, 3, 2, 1, 3).max(axis=(3, 5))    # (N, 40, 3, 1)
+    a2 = jnp.maximum(p2.reshape(n, 40, 3) + params["conv2_b"][None, :, None],
+                     0.0)
+
+    flat = a2.reshape(n, 120)
+    h = jnp.maximum(_dot(flat, params["hidden_w"].T) + params["hidden_b"], 0.0)
+    logits = _dot(h, params["logistic_w"].T) + params["logistic_b"]
+    return _softmax(logits).reshape(batch_shape + (10,))

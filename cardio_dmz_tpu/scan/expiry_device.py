@@ -35,7 +35,7 @@ from ..constants import (
     EXPIRY_MIN_STABILITY,
     NUMBER_HEIGHT,
 )
-from ..models import apply_expiry_conv
+from ..models import apply_expiry_conv_mm
 from ..ops import bilateral3x3, equalize_hist, morph_grad3_2d_cross_u8
 
 SMALL_W = 9
@@ -101,27 +101,33 @@ def expiry_state_init() -> ExpiryState:
 # ---------------------------------------------------------------------------
 
 # Rows above this never contribute: expiry runs only on non-upside-down
-# frames (vseg_y >= 115 is guaranteed by the flip cutoff 121, frame.cpp:22)
-# so y_start = vseg_y + 27 >= 142. Computing the scharr on a static 128-row
-# lower band costs 2.1x less than the full card.
-_SCHARR_BASE = CARD_HEIGHT - 128
+# frames (vseg_y >= 121 at the flip cutoff, frame.cpp:22) so y_start =
+# vseg_y + 27 >= 148 and every group band top (g_top - 2) >= 140. The whole
+# seg path therefore works on a static 136-row lower band — all the one-hot
+# row contractions downstream shrink 2x vs contracting over the full 270
+# rows. Row coordinates stay ABSOLUTE throughout; only the band selects are
+# band-relative.
+_BAND_ROWS = 136
+_SCHARR_BASE = CARD_HEIGHT - _BAND_ROWS
 
 
 def scharr_dx_abs_below(y_img, y_start):
     """expiry_seg.cpp:714-739 with the ROI realized as masking + boundary
-    clamp at the dynamic row y_start (= vseg_y + 27, always >= 142)."""
+    clamp at the dynamic row y_start (= vseg_y + 27, always >= 142).
+
+    Returns the (136, 428) lower band (rows [_SCHARR_BASE, 270) of the
+    card, absolute row r at band index r - _SCHARR_BASE)."""
     xi = y_img[_SCHARR_BASE:].astype(jnp.int32)
     left = jnp.concatenate([xi[:, :1], xi[:, :-1]], axis=1)
     right = jnp.concatenate([xi[:, 1:], xi[:, -1:]], axis=1)
     d = jnp.abs(right - left)
-    rows = _SCHARR_BASE + jnp.arange(CARD_HEIGHT - _SCHARR_BASE)[:, None]
+    rows = _SCHARR_BASE + jnp.arange(_BAND_ROWS)[:, None]
     d = jnp.where(rows >= y_start, d, 0)
     up = jnp.concatenate([d[:1], d[:-1]], axis=0)
     up = jnp.where(rows <= y_start, d, up)  # clamp at the ROI top
     dn = jnp.concatenate([d[1:], d[-1:]], axis=0)
     out = 3 * (up + dn) + 10 * d
-    out = jnp.where(rows >= y_start, out, 0)
-    return jnp.pad(out, ((_SCHARR_BASE, 0), (0, 0)))
+    return jnp.where(rows >= y_start, out, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -129,10 +135,13 @@ def scharr_dx_abs_below(y_img, y_start):
 # ---------------------------------------------------------------------------
 
 def select_stripes(sobel, y_start):
-    """expiry_seg.cpp:745-871. Returns (bases (3,), sums (3,), valid (3,))."""
+    """expiry_seg.cpp:745-871. sobel: (136, 428) lower band from
+    scharr_dx_abs_below. Returns (bases (3,), sums (3,), valid (3,)) —
+    bases in absolute card rows."""
     left_edge = SMALL_W * 3
     right_edge = (CARD_WIDTH * 2) // 3
-    ls = jnp.sum(sobel[:, left_edge:right_edge], axis=1)  # (270,) int32
+    ls = jnp.pad(jnp.sum(sobel[:, left_edge:right_edge], axis=1),
+                 (_SCHARR_BASE, 0))                       # (270,) int32
 
     first_base = y_start + 1
     last_base = CARD_HEIGHT - (SMALL_H + 1)
@@ -447,9 +456,11 @@ def _process_stripe(sobel, base, stripe_sum, stripe_valid):
     base = jnp.clip(base, 1, CARD_HEIGHT - BAND_H)
     # rows-only crop as a one-hot contraction (dynamic_slice of the shared
     # sobel serializes under the stripe vmap; scharr values < 2^24 so the
-    # f32 selection products are exact)
-    rsel = ((base + jnp.arange(BAND_H))[:, None]
-            == jnp.arange(CARD_HEIGHT)[None, :]).astype(jnp.float32)
+    # f32 selection products are exact). Selects over the 136-row band
+    # (valid bases are always >= y_start + 1 >= 149 > _SCHARR_BASE).
+    base_rel = jnp.clip(base - _SCHARR_BASE, 0, _BAND_ROWS - BAND_H)
+    rsel = ((base_rel + jnp.arange(BAND_H))[:, None]
+            == jnp.arange(_BAND_ROWS)[None, :]).astype(jnp.float32)
     band = jnp.einsum("xr,rc->xc", rsel,
                       sobel.astype(jnp.float32)).astype(jnp.int32)
     col_sums = jnp.sum(band, axis=0)
@@ -470,9 +481,9 @@ def _process_stripe(sobel, base, stripe_sum, stripe_valid):
 
     # shared by every group of this stripe: regrid rows [base-1, base+16) —
     # only the column sums are used, so select rows with one contraction
-    rbase = jnp.clip(base - 1, 0, CARD_HEIGHT - BAND_H)
-    rsel2 = ((rbase + jnp.arange(BAND_H))[:, None]
-             == jnp.arange(CARD_HEIGHT)[None, :]).astype(jnp.float32)
+    rbase_rel = jnp.clip(base - 1 - _SCHARR_BASE, 0, _BAND_ROWS - BAND_H)
+    rsel2 = ((rbase_rel + jnp.arange(BAND_H))[:, None]
+             == jnp.arange(_BAND_ROWS)[None, :]).astype(jnp.float32)
     col_sums_grp = jnp.einsum("xr,rc->c", rsel2,
                               sobel.astype(jnp.float32)).astype(jnp.int32)
 
@@ -581,9 +592,12 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
     # per char, ~330 MB of HBM traffic per step)
     S_, G_ = r_lefts.shape[0], r_lefts.shape[1]
     band_top = jnp.clip(g_top[:, 0] - 2, 0, CARD_HEIGHT - EXPANDED_H)  # (3,)
-    # rows-only crops as one one-hot contraction (see _process_stripe)
-    bsel = ((band_top[:, None, None] + jnp.arange(EXPANDED_H)[None, :, None])
-            == jnp.arange(CARD_HEIGHT)[None, None, :]).astype(jnp.float32)
+    # rows-only crops as one one-hot contraction over the 136-row band
+    # (see _process_stripe; valid band tops are >= 140 > _SCHARR_BASE, and
+    # rows [140, 142) of the band are zero by the y_start mask)
+    bt_rel = jnp.clip(band_top - _SCHARR_BASE, 0, _BAND_ROWS - EXPANDED_H)
+    bsel = ((bt_rel[:, None, None] + jnp.arange(EXPANDED_H)[None, :, None])
+            == jnp.arange(_BAND_ROWS)[None, None, :]).astype(jnp.float32)
     bands = jnp.einsum("sxr,rc->sxc", bsel,
                        sobel.astype(jnp.float32))             # (3, 21, 428)
 
@@ -680,11 +694,16 @@ def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
 
     band_tops = jnp.clip(windows.top - 2, 0, CARD_HEIGHT - EXPANDED_H)
     # rows-only crops as one one-hot contraction (dynamic_slice of the
-    # shared luma serializes under the window vmap; u8 values are exact)
-    bsel = ((band_tops[:, None, None] + jnp.arange(EXPANDED_H)[None, :, None])
-            == jnp.arange(CARD_HEIGHT)[None, None, :]).astype(jnp.float32)
+    # shared luma serializes under the window vmap; u8 values are exact).
+    # Valid windows always sit in the lower card (top >= 142, see
+    # _SCHARR_BASE), so contract over the static 136-row luma band;
+    # invalid windows read arbitrary band rows and are masked below.
+    bt_rel = jnp.clip(band_tops - _SCHARR_BASE, 0, _BAND_ROWS - EXPANDED_H)
+    bsel = ((bt_rel[:, None, None] + jnp.arange(EXPANDED_H)[None, :, None])
+            == jnp.arange(_BAND_ROWS)[None, None, :]).astype(jnp.float32)
     bands = jnp.einsum("wxr,rc->wxc", bsel,
-                       y_img.astype(jnp.float32)).astype(jnp.uint8)
+                       y_img[_SCHARR_BASE:].astype(jnp.float32)
+                       ).astype(jnp.uint8)
 
     shifted = jnp.stack([bands[:, :, j:j + n_c] for j in range(TRIM_W)],
                         axis=1).astype(jnp.bfloat16)       # (W, 11, 21, 418)
@@ -707,7 +726,7 @@ def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
     sm = bilateral3x3(eq)
     cells = (sm.astype(jnp.float32) / 255.0)
     cells = cells.reshape(-1, TRIM_H, TRIM_W)               # (W*4, 16, 11)
-    probs = apply_expiry_conv(expiry_params, cells)         # (W*4, 10)
+    probs = apply_expiry_conv_mm(expiry_params, cells)      # (W*4, 10)
     probs = probs.reshape(MAX_WINDOWS, 4, 10)
     scores = jnp.zeros((MAX_WINDOWS, 5, 10), jnp.float32)
     scores = scores.at[:, digit_idx, :].set(probs)

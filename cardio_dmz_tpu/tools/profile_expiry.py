@@ -131,7 +131,8 @@ def fine(streams=64):
     S_, St_, G_ = r_lefts.shape[0], r_lefts.shape[1], r_lefts.shape[2]
 
     def trim_all(sobel, r_lefts, g_top, g_cw):
-        band_top = jnp.clip(g_top[:, 0] - 2, 0, 270 - ed.EXPANDED_H)
+        band_top = jnp.clip(g_top[:, 0] - 2 - ed._SCHARR_BASE, 0,
+                            ed._BAND_ROWS - ed.EXPANDED_H)
         bands = jax.vmap(lambda t: lax.dynamic_slice(
             sobel, (t, 0), (ed.EXPANDED_H, 428)))(band_top)
         def stripe_trim(band, lefts_s, tops_s, cw_s):
@@ -148,7 +149,8 @@ def fine(streams=64):
     t_trim = bench(trim, sobels, r_lefts, g_top, g_cw)
 
     def slash_all(sobel, g_top):
-        band_top = jnp.clip(g_top[:, 0] - 2, 0, 270 - ed.EXPANDED_H)
+        band_top = jnp.clip(g_top[:, 0] - 2 - ed._SCHARR_BASE, 0,
+                            ed._BAND_ROWS - ed.EXPANDED_H)
         bands = jax.vmap(lambda t: lax.dynamic_slice(
             sobel, (t, 0), (ed.EXPANDED_H, 428)))(band_top)
         roffs = jnp.zeros((St_, G_ * (ed.MAX_CHARS - 4)), jnp.int32)
