@@ -17,12 +17,17 @@ Structure (one grid step = one 16-row output block):
   rows     stage-1 vertical gather: transpose the window to put source
            rows in lanes (<=128, one vreg — the Mosaic gather limit) and
            ``take_along_axis`` the per-(column, output-row) band base
-           rows +0/+1/+2 in one shot (lane index = m*16 + r);
-  columns  stage-2 horizontal gather: transpose back, then for each of
-           the <=5 static 128-lane source slices gather the per-pixel
-           tap columns x0/x0+1 (indices rebased per slice, out-of-slice
-           lanes masked) — the q-decomposition replaces dynamic lane
-           windows, which Mosaic only supports 128-aligned;
+           rows +0/+1/+2 in one shot (lane index = m*16 + r), then stack
+           the band bases below them -> bt2 (64, W): sublane l holds
+           band row l//16 for output row l%16 (l >= 48: the base row);
+  columns  stage-2 horizontal gather: for each of the <=5 static
+           128-lane source slices (the q-decomposition — Mosaic only
+           supports dynamic lane windows 128-aligned), gather the
+           per-pixel tap columns x0/x0+1 with indices rebased per slice
+           and out-of-slice lanes masked; values for all 3 band rows AND
+           the band base ride ONE fused 64-sublane take per (chunk, q,
+           tap) — 4x fewer gather/select instructions than the round-3
+           per-band (16, 128) takes;
   combine  OpenCV's integer bilinear: weights (32-ax)(32-ay)*32 etc. and
            (acc + 2^14) >> 15 with u8 saturation (INTER_BITS=5; the
            BilinearTab entries are exactly these integers).
@@ -48,14 +53,17 @@ _ROW_BLOCK = 16      # output rows per grid step
 _WIN = 128           # source window rows (= the Mosaic lane-gather limit)
 _ALIGN = 32          # u8 sublane tile: window starts are 32-row aligned
 _OUT_LANES = 512     # 428 output columns padded to a lane multiple
+_COL_CHUNK = 128     # output lanes per stage-2 column chunk
 
 
-def _pad_to(x, rows=None, cols=None, value=0):
+def _pad_to(x, rows=None, cols=None, value=0, edge=False):
     pr = 0 if rows is None else rows - x.shape[-2]
     pc = 0 if cols is None else cols - x.shape[-1]
     if pr == 0 and pc == 0:
         return x
     cfg = [(0, 0)] * (x.ndim - 2) + [(0, pr), (0, pc)]
+    if edge:
+        return jnp.pad(x, cfg, mode="edge")
     return jnp.pad(x, cfg, constant_values=value)
 
 
@@ -69,15 +77,19 @@ def _warp_gather_kernel(in_h, in_w, n_q, k_ref, s0, s1, s2, s3,
     winf = win.astype(jnp.int32).astype(jnp.float32)
 
     # stage 1: vertical band gather. idx lane l = m*16 + r holds
-    # yb[r, j] + m rebased to the window (m in 0..2; lanes 48.. unused).
+    # yb[r, j] + m rebased to the window (m in 0..2; lanes 48+ pad —
+    # Mosaic's gather lowering requires idx.shape == src.shape).
     yb16 = yb_ref[:, :]                                  # (16, Wp) i32
     rel = yb16 - kk * _ALIGN
     idx_full = jnp.concatenate(
         [rel + m for m in range(3)] + [jnp.zeros_like(rel)] * 5, axis=0)
     idx_full = jnp.clip(idx_full, 0, _WIN - 1)           # (128, Wp)
     bands = jnp.take_along_axis(winf.T, idx_full.T, axis=1,
-                                mode="promise_in_bounds")
-    bt = bands.T                                         # (128, Wp) f32
+                                mode="promise_in_bounds")  # (Wp, 128)
+    # bt2: band rows 0..2 on sublanes 0..47, the base row itself on
+    # sublanes 48..63 (so stage 2 fetches values AND base in one gather)
+    bt2 = jnp.concatenate([bands.T[:48, :], yb16.astype(jnp.float32)],
+                          axis=0)                        # (64, Wp)
 
     xq = xq_ref[:, :]                                    # (16, 512) i32
     yq = yq_ref[:, :]
@@ -86,56 +98,58 @@ def _warp_gather_kernel(in_h, in_w, n_q, k_ref, s0, s1, s2, s3,
     y0 = yq >> 5
     ay = yq & 31
 
-    # stage 2: horizontal tap gather via the static q-decomposition
-    ybf = yb16.astype(jnp.float32)
+    # stage 2: per 128-lane output chunk, gather both tap columns from the
+    # static 128-lane source slices (q-decomposition): values for all 3
+    # band rows AND the band base ride ONE 64-sublane take per (chunk, q,
+    # tap) — 4x fewer gather/select instructions than per-band takes
+    cols0 = jnp.clip(x0, 0, in_w - 1)
+    cols1 = jnp.clip(x0 + 1, 0, in_w - 1)
+    n_chunks = _OUT_LANES // _COL_CHUNK
 
-    def fetch(cols):
-        """vals[m][r, c] = band row m's value at source column cols[r, c];
-        base[r, c] = yb[r, cols[r, c]]. cols: (16, 512) i32 (any value;
-        out-of-image taps are masked in the combine)."""
-        chunks = [[] for _ in range(4)]
-        for c4 in range(_OUT_LANES // 128):
-            cc = cols[:, c4 * 128:c4 * 128 + 128]        # (16, 128)
-            acc = [jnp.zeros((16, 128), jnp.float32) for _ in range(4)]
-            for q in range(n_q):
-                rq = cc - q * 128
-                inq = (rq >= 0) & (rq < 128)
-                rqc = jnp.clip(rq, 0, 127)
-                qs = slice(q * 128, q * 128 + 128)
-                for m in range(3):
-                    g = jnp.take_along_axis(bt[m * 16:m * 16 + 16, qs],
-                                            rqc, axis=1,
-                                            mode="promise_in_bounds")
-                    acc[m] = jnp.where(inq, g, acc[m])
-                gb = jnp.take_along_axis(ybf[:, qs], rqc, axis=1,
-                                         mode="promise_in_bounds")
-                acc[3] = jnp.where(inq, gb, acc[3])
-            for i in range(4):
-                chunks[i].append(acc[i])
-        packed = [jnp.concatenate(c, axis=1) for c in chunks]
-        return packed[:3], packed[3]
+    def fetch_chunk(cols_abs):
+        """cols_abs: (16, 128) absolute source columns (clipped in-image).
+        Returns (64, 128): band values + base at those columns."""
+        idx = jnp.concatenate([cols_abs] * 4, axis=0)    # (64, 128)
+        out = jnp.zeros((64, _COL_CHUNK), jnp.float32)
+        for q in range(n_q):
+            rq = idx - q * 128
+            inq = (rq >= 0) & (rq < 128)
+            rqc = jnp.clip(rq, 0, 127)
+            g = jnp.take_along_axis(bt2[:, q * 128:(q + 1) * 128], rqc,
+                                    axis=1, mode="promise_in_bounds")
+            out = jnp.where(inq, g, out)
+        return out
 
-    v0, yb0 = fetch(x0)
-    v1, yb1 = fetch(x0 + 1)
+    v_parts0, v_parts1 = [], []
+    for c4 in range(n_chunks):
+        sl = slice(c4 * _COL_CHUNK, (c4 + 1) * _COL_CHUNK)
+        v_parts0.append(fetch_chunk(cols0[:, sl]))
+        v_parts1.append(fetch_chunk(cols1[:, sl]))
+    g0 = jnp.concatenate(v_parts0, axis=1)               # (64, 512)
+    g1 = jnp.concatenate(v_parts1, axis=1)
 
     # combine: band-offset selection, border masks, integer bilinear —
     # ops/warp.warp_perspective_exact's assembly stage verbatim
-    def pick(vals, msel):
+    def pick(g, msel):
         out = jnp.zeros(msel.shape, jnp.int32)
         for m in range(3):
-            out = jnp.where(msel == m, vals[m].astype(jnp.int32), out)
+            out = jnp.where(msel == m,
+                            g[m * 16:(m + 1) * 16, :].astype(jnp.int32),
+                            out)
         return out
 
-    m0 = jnp.clip(y0 - yb0.astype(jnp.int32), 0, 1)
-    m1 = jnp.clip(y0 - yb1.astype(jnp.int32), 0, 1)
+    yb0 = g0[48:64, :].astype(jnp.int32)
+    yb1 = g1[48:64, :].astype(jnp.int32)
+    m0 = jnp.clip(y0 - yb0, 0, 1)
+    m1 = jnp.clip(y0 - yb1, 0, 1)
     vx0 = (x0 >= 0) & (x0 < in_w)
     vx1 = (x0 + 1 >= 0) & (x0 + 1 < in_w)
     vy0 = (y0 >= 0) & (y0 < in_h)
     vy1 = (y0 + 1 >= 0) & (y0 + 1 < in_h)
-    i00 = jnp.where(vx0 & vy0, pick(v0, m0), 0)
-    i10 = jnp.where(vx0 & vy1, pick(v0, m0 + 1), 0)
-    i01 = jnp.where(vx1 & vy0, pick(v1, m1), 0)
-    i11 = jnp.where(vx1 & vy1, pick(v1, m1 + 1), 0)
+    i00 = jnp.where(vx0 & vy0, pick(g0, m0), 0)
+    i10 = jnp.where(vx0 & vy1, pick(g0, m0 + 1), 0)
+    i01 = jnp.where(vx1 & vy0, pick(g1, m1), 0)
+    i11 = jnp.where(vx1 & vy1, pick(g1, m1 + 1), 0)
 
     acc = (i00 * ((32 - ax) * (32 - ay) * 32)
            + i01 * (ax * (32 - ay) * 32)
@@ -165,8 +179,10 @@ def warp_gather_exact(image, xq, yq, yb, out_shape, interpret=False):
     hp = n_blocks * _ROW_BLOCK
 
     img_p = _pad_to(image, None, wp)
-    xq_p = _pad_to(xq, hp, _OUT_LANES)
-    yq_p = _pad_to(yq, hp, _OUT_LANES)
+    # coords edge-padded: pad lanes replicate the last real column so the
+    # per-chunk column-window minima stay inside the real span
+    xq_p = _pad_to(xq, hp, _OUT_LANES, edge=True)
+    yq_p = _pad_to(yq, hp, _OUT_LANES, edge=True)
     # pad yb with a huge value so block minima ignore the pad rows; pad
     # columns likewise (those lanes are gathered only for masked taps)
     yb_p = _pad_to(yb, hp, wp, value=10 ** 6)

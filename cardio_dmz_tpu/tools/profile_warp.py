@@ -63,7 +63,33 @@ def main():
         out = W.unwarp_card(img, sp, src_bounds=bounds, method="dense")
         return carry(img, out)
 
-    variants = dict(qr=v_qr, coords=v_coords, full=v_full, dense=v_dense)
+    def v_bands(img, sp):
+        # qr + coords + band bases + the kernel's window-start k compute —
+        # everything EXCEPT the pallas gather itself
+        h = eigen_persp_transform(sp, dest)
+        X, Y, minv = warp_coord_maps(h, (270, 428))
+        rr = jnp.arange(270, dtype=jnp.float32)[:, None]
+        jjf = jnp.arange(640, dtype=jnp.float32)[None, :]
+        yb = W._band_base(minv, rr, jjf)
+        out = (X + Y + yb[:, :428]).astype(jnp.uint8)
+        return carry(img, out)
+
+    def v_kernel(img, sp):
+        # pallas gather alone: static coord maps (same for all iters),
+        # image is the carried state so steps still serialize
+        from cardio_dmz_tpu.ops.pallas.warp_gather import warp_gather_exact
+        h = eigen_persp_transform(
+            jnp.asarray([[106., 105.], [534., 105.], [106., 375.],
+                         [534., 375.]], jnp.float32), dest)
+        X, Y, minv = warp_coord_maps(h, (270, 428))
+        rr = jnp.arange(270, dtype=jnp.float32)[:, None]
+        jjf = jnp.arange(640, dtype=jnp.float32)[None, :]
+        yb = W._band_base(minv, rr, jjf)
+        out = warp_gather_exact(img, X, Y, yb, (270, 428))
+        return carry(img, out + sp.sum().astype(jnp.uint8))
+
+    variants = dict(qr=v_qr, coords=v_coords, bands=v_bands,
+                    kernel=v_kernel, full=v_full, dense=v_dense)
     wanted = (list(variants) if args.stage == "all"
               else args.stage.split(","))
     for name in wanted:
