@@ -6,7 +6,7 @@ results to ops/warp.warp_perspective_exact's XLA one-hot form (and hence
 to the compiled reference), but the per-pixel random access runs as real
 Mosaic ``dynamic_gather`` ops instead of one-hot contractions.
 
-Structure (one grid step = one 16-row output block):
+Structure (one grid step = one 32-row output block):
 
   window   the 128 source rows covering the block's 3-row bands are
            DMA'd as four 32-row-aligned u8 blocks whose indices come from
@@ -17,9 +17,9 @@ Structure (one grid step = one 16-row output block):
   rows     stage-1 vertical gather: transpose the window to put source
            rows in lanes (<=128, one vreg — the Mosaic gather limit) and
            ``take_along_axis`` the per-(column, output-row) band base
-           rows +0/+1/+2 in one shot (lane index = m*16 + r), then stack
+           rows +0/+1/+2 in one shot (lane index = m*R + r), then stack
            the band bases below them -> bt2 (64, W): sublane l holds
-           band row l//16 for output row l%16 (l >= 48: the base row);
+           band row l//R for output row l%R (l >= 3R: the base row);
   columns  stage-2 horizontal gather: for each of the <=5 static
            128-lane source slices (the q-decomposition — Mosaic only
            supports dynamic lane windows 128-aligned), gather the
@@ -49,7 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROW_BLOCK = 16      # output rows per grid step
+_ROW_BLOCK = 32      # output rows per grid step (4*R = 128 gather target lanes)
 _WIN = 128           # source window rows (= the Mosaic lane-gather limit)
 _ALIGN = 32          # u8 sublane tile: window starts are 32-row aligned
 _OUT_LANES = 512     # 428 output columns padded to a lane multiple
@@ -67,7 +67,7 @@ def _pad_to(x, rows=None, cols=None, value=0, edge=False):
     return jnp.pad(x, cfg, constant_values=value)
 
 
-def _warp_gather_kernel(in_h, in_w, n_q, k_ref, s0, s1, s2, s3,
+def _warp_gather_kernel(in_h, in_w, qsets, k_ref, s0, s1, s2, s3,
                         xq_ref, yq_ref, yb_ref, out_ref):
     b = pl.program_id(0)
     kk = k_ref[b]
@@ -76,23 +76,25 @@ def _warp_gather_kernel(in_h, in_w, n_q, k_ref, s0, s1, s2, s3,
     win = jnp.concatenate([s0[:, :], s1[:, :], s2[:, :], s3[:, :]], axis=0)
     winf = win.astype(jnp.int32).astype(jnp.float32)
 
-    # stage 1: vertical band gather. idx lane l = m*16 + r holds
-    # yb[r, j] + m rebased to the window (m in 0..2; lanes 48+ pad —
+    R = _ROW_BLOCK
+    # stage 1: vertical band gather. idx lane l = m*R + r holds
+    # yb[r, j] + m rebased to the window (m in 0..2; lanes 3R+ pad —
     # Mosaic's gather lowering requires idx.shape == src.shape).
-    yb16 = yb_ref[:, :]                                  # (16, Wp) i32
+    yb16 = yb_ref[:, :].astype(jnp.int32)                # (R, Wp) i16 in
     rel = yb16 - kk * _ALIGN
+    n_pad = _WIN // R - 3
     idx_full = jnp.concatenate(
-        [rel + m for m in range(3)] + [jnp.zeros_like(rel)] * 5, axis=0)
+        [rel + m for m in range(3)] + [jnp.zeros_like(rel)] * n_pad, axis=0)
     idx_full = jnp.clip(idx_full, 0, _WIN - 1)           # (128, Wp)
     bands = jnp.take_along_axis(winf.T, idx_full.T, axis=1,
                                 mode="promise_in_bounds")  # (Wp, 128)
-    # bt2: band rows 0..2 on sublanes 0..47, the base row itself on
-    # sublanes 48..63 (so stage 2 fetches values AND base in one gather)
-    bt2 = jnp.concatenate([bands.T[:48, :], yb16.astype(jnp.float32)],
-                          axis=0)                        # (64, Wp)
+    # bt2: band rows 0..2 on sublanes 0..3R-1, the base row itself on
+    # sublanes 3R.. (so stage 2 fetches values AND base in one gather)
+    bt2 = jnp.concatenate([bands.T[:3 * R, :], yb16.astype(jnp.float32)],
+                          axis=0)                        # (4R, Wp)
 
-    xq = xq_ref[:, :]                                    # (16, 512) i32
-    yq = yq_ref[:, :]
+    xq = xq_ref[:, :].astype(jnp.int32)                  # (R, 512) i16 in
+    yq = yq_ref[:, :].astype(jnp.int32)
     x0 = xq >> 5
     ax = xq & 31
     y0 = yq >> 5
@@ -107,11 +109,11 @@ def _warp_gather_kernel(in_h, in_w, n_q, k_ref, s0, s1, s2, s3,
     n_chunks = _OUT_LANES // _COL_CHUNK
 
     def fetch_chunk(cols_abs):
-        """cols_abs: (16, 128) absolute source columns (clipped in-image).
-        Returns (64, 128): band values + base at those columns."""
-        idx = jnp.concatenate([cols_abs] * 4, axis=0)    # (64, 128)
-        out = jnp.zeros((64, _COL_CHUNK), jnp.float32)
-        for q in range(n_q):
+        """cols_abs: (R, 128) absolute source columns (clipped in-image).
+        Returns (4R, 128): band values + base at those columns."""
+        idx = jnp.concatenate([cols_abs] * 4, axis=0)    # (4R, 128)
+        out = jnp.zeros((4 * R, _COL_CHUNK), jnp.float32)
+        for q in qs:
             rq = idx - q * 128
             inq = (rq >= 0) & (rq < 128)
             rqc = jnp.clip(rq, 0, 127)
@@ -122,10 +124,11 @@ def _warp_gather_kernel(in_h, in_w, n_q, k_ref, s0, s1, s2, s3,
 
     v_parts0, v_parts1 = [], []
     for c4 in range(n_chunks):
+        qs = qsets[c4]
         sl = slice(c4 * _COL_CHUNK, (c4 + 1) * _COL_CHUNK)
         v_parts0.append(fetch_chunk(cols0[:, sl]))
         v_parts1.append(fetch_chunk(cols1[:, sl]))
-    g0 = jnp.concatenate(v_parts0, axis=1)               # (64, 512)
+    g0 = jnp.concatenate(v_parts0, axis=1)               # (4R, 512)
     g1 = jnp.concatenate(v_parts1, axis=1)
 
     # combine: band-offset selection, border masks, integer bilinear —
@@ -134,12 +137,12 @@ def _warp_gather_kernel(in_h, in_w, n_q, k_ref, s0, s1, s2, s3,
         out = jnp.zeros(msel.shape, jnp.int32)
         for m in range(3):
             out = jnp.where(msel == m,
-                            g[m * 16:(m + 1) * 16, :].astype(jnp.int32),
+                            g[m * R:(m + 1) * R, :].astype(jnp.int32),
                             out)
         return out
 
-    yb0 = g0[48:64, :].astype(jnp.int32)
-    yb1 = g1[48:64, :].astype(jnp.int32)
+    yb0 = g0[3 * R:4 * R, :].astype(jnp.int32)
+    yb1 = g1[3 * R:4 * R, :].astype(jnp.int32)
     m0 = jnp.clip(y0 - yb0, 0, 1)
     m1 = jnp.clip(y0 - yb1, 0, 1)
     vx0 = (x0 >= 0) & (x0 < in_w)
@@ -155,10 +158,39 @@ def _warp_gather_kernel(in_h, in_w, n_q, k_ref, s0, s1, s2, s3,
            + i01 * (ax * (32 - ay) * 32)
            + i10 * ((32 - ax) * ay * 32)
            + i11 * (ax * ay * 32))
-    out_ref[:, :] = jnp.clip((acc + (1 << 14)) >> 15, 0, 255)
+    out_ref[:, :] = jnp.clip((acc + (1 << 14)) >> 15, 0, 255).astype(jnp.uint8)
 
 
-def warp_gather_exact(image, xq, yq, yb, out_shape, interpret=False):
+def _chunk_qsets(col_bounds, out_w, in_w, wp, tilt_pad):
+    """Static per-chunk stage-2 gather slices: for the output-lane chunk
+    [c*128, (c+1)*128), interpolate the detector corner ranges
+    (xtl=(lo0,hi0) at dst col 0, xtr=(lo1,hi1) at dst col out_w-1) across
+    the chunk, pad by the tilt spread + rho slop + the tap pair, and keep
+    only the 128-lane source slices that range touches. Taps outside the
+    kept slices read 0 — exactly the quads outside the detector envelope
+    (the XLA form\'s static col windows zero-fill the same way);
+    tests/test_warp_envelope.py check G pins the coverage."""
+    import math as _m
+    (xtl, xtr) = col_bounds
+    n_q = wp // 128
+    qsets = []
+    denom = max(out_w - 1, 1)
+    for c in range(-(-_OUT_LANES // _COL_CHUNK)):
+        t0 = min(c * _COL_CHUNK, out_w - 1)
+        t1 = min((c + 1) * _COL_CHUNK - 1, out_w - 1)
+        cands = []
+        for t in (t0, t1):
+            f = t / denom
+            cands.append(xtl[0] + f * (xtr[0] - xtl[0]))
+            cands.append(xtl[1] + f * (xtr[1] - xtl[1]))
+        lo = max(0, int(_m.floor(min(cands) - tilt_pad - 2)))
+        hi = min(in_w - 1, int(_m.ceil(max(cands) + tilt_pad + 3)))
+        qsets.append(tuple(range(lo // 128, min(hi // 128, n_q - 1) + 1)))
+    return tuple(qsets)
+
+
+def warp_gather_exact(image, xq, yq, yb, out_shape, col_bounds=None,
+                      tilt=0.095, interpret=False):
     """Exact fixed-point perspective gather as a Pallas kernel.
 
     image: (H, W) u8 source (H a multiple of 32). xq/yq: (out_h, out_w)
@@ -166,6 +198,11 @@ def warp_gather_exact(image, xq, yq, yb, out_shape, interpret=False):
     yb: (out_h, W) int32 band base rows (ops/warp._band_base: for every
     output pixel (r, c) with x0(r, c) in {j-1, j}, the vertical taps
     satisfy y0 in {yb[r, j], yb[r, j]+1}).
+
+    col_bounds: optional STATIC ((xtl_lo, xtl_hi), (xtr_lo, xtr_hi))
+    corner column ranges (api.warp_src_bounds, already transposed if the
+    image is) — prunes stage-2 to the source slices the detector envelope
+    can reach (~2-3 of 5 per chunk).
 
     Returns (out_h, out_w) u8 — bit-identical to the XLA one-hot form of
     warp_perspective_exact for any quad whose band spread fits the 128-row
@@ -177,15 +214,29 @@ def warp_gather_exact(image, xq, yq, yb, out_shape, interpret=False):
     n_q = wp // 128
     n_blocks = -(-out_h // _ROW_BLOCK)
     hp = n_blocks * _ROW_BLOCK
+    if col_bounds is not None:
+        pad_c = tilt * in_h / 2
+        qsets = _chunk_qsets(col_bounds, out_w, in_w, wp, pad_c)
+    else:
+        qsets = tuple(tuple(range(n_q))
+                      for _ in range(_OUT_LANES // _COL_CHUNK))
 
     img_p = _pad_to(image, None, wp)
-    # coords edge-padded: pad lanes replicate the last real column so the
-    # per-chunk column-window minima stay inside the real span
-    xq_p = _pad_to(xq, hp, _OUT_LANES, edge=True)
-    yq_p = _pad_to(yq, hp, _OUT_LANES, edge=True)
-    # pad yb with a huge value so block minima ignore the pad rows; pad
-    # columns likewise (those lanes are gathered only for masked taps)
-    yb_p = _pad_to(yb, hp, wp, value=10 ** 6)
+    # coords edge-padded (pad lanes replicate the last real column so the
+    # per-chunk/per-block window minima stay inside the real span) and
+    # narrowed to int16 so the DMA ships half the bytes: clipping at
+    # lim = 672*32 keeps every clipped coordinate OUTSIDE the image
+    # (x0 = lim>>5 = 672 >= in_w, -672 < 0), so the border masks treat it
+    # exactly like the original far-out value — FILL_OUTLIERS unchanged.
+    # yb rides as int16 likewise (band bases are in [-2048, in_h); the
+    # pad value `lim` keeps the per-block window minima inert).
+    lim = 672 * 32
+    xq_p = jnp.clip(_pad_to(xq, hp, _OUT_LANES, edge=True),
+                    -lim, lim).astype(jnp.int16)
+    yq_p = jnp.clip(_pad_to(yq, hp, _OUT_LANES, edge=True),
+                    -lim, lim).astype(jnp.int16)
+    yb_p = jnp.clip(_pad_to(yb, hp, wp, value=lim),
+                    -lim, lim).astype(jnp.int16)
 
     # per-block aligned window starts (units of 32 source rows), from the
     # band bases of the block's PICKED columns only: j is gathered in
@@ -202,12 +253,13 @@ def warp_gather_exact(image, xq, yq, yb, out_shape, interpret=False):
     jhi = jnp.clip(jnp.max(x0b, axis=(1, 2)) + 1, 0, in_w - 1)
     jj = jnp.arange(wp, dtype=jnp.int32)[None, :]
     picked = (jj >= jlo[:, None]) & (jj <= jhi[:, None])   # (n_blocks, wp)
-    yb_blocks = yb_p.reshape(n_blocks, _ROW_BLOCK, wp)
+    yb_i32 = _pad_to(yb, hp, wp, value=10 ** 6)
+    yb_blocks = yb_i32.reshape(n_blocks, _ROW_BLOCK, wp)
     ybm = jnp.where(picked[:, None, :], yb_blocks, jnp.int32(10 ** 6))
     k = jnp.min(ybm, axis=(1, 2)) // _ALIGN
     k = jnp.clip(k, 0, in_h // _ALIGN - _WIN // _ALIGN).astype(jnp.int32)
 
-    kernel = functools.partial(_warp_gather_kernel, in_h, in_w, n_q)
+    kernel = functools.partial(_warp_gather_kernel, in_h, in_w, qsets)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -225,8 +277,8 @@ def warp_gather_exact(image, xq, yq, yb, out_shape, interpret=False):
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((hp, _OUT_LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((hp, _OUT_LANES), jnp.uint8),
         grid_spec=grid_spec,
         interpret=interpret,
     )(k, img_p, img_p, img_p, img_p, xq_p, yq_p, yb_p)
-    return out[:out_h, :out_w].astype(jnp.uint8)
+    return out[:out_h, :out_w]

@@ -417,7 +417,12 @@ def warp_perspective_exact(image, m_src_to_dst, out_shape,
         rr = jnp.arange(out_h, dtype=jnp.float32)[:, None]
         jjf = jnp.arange(in_w, dtype=jnp.float32)[None, :]
         yb = _band_base(minv, rr, jjf)                   # (out_h, in_w)
+        col_bounds = None
+        if src_bounds is not None:
+            (_, _, xtl, xtr) = src_bounds
+            col_bounds = (xtl, xtr)
         return warp_gather_exact(image, xq, yq, yb, out_shape,
+                                 col_bounds=col_bounds, tilt=tilt,
                                  interpret=interpret)
 
     x0 = xq >> 5

@@ -71,8 +71,12 @@ def main():
 
     if args.camera:
         from cardio_dmz_tpu.config import ScanConfig
+        # --latency: batch-1-specialized scan stages (dynamic slices
+        # instead of one-hot contractions) behind the detect+warp stages,
+        # which are shape-agnostic (the Pallas gather grid is per stream)
         cam_config = ScanConfig(scan_expiry=args.expiry,
-                                warp_bf16=args.warp_bf16)
+                                warp_bf16=args.warp_bf16,
+                                latency_shape=args.latency)
 
         @jax.jit
         def step(states, y, cb, cr):

@@ -59,8 +59,8 @@ def main():
         offset = int(rng.integers(25, 45))
         noise = int(rng.integers(0, 4))
         y = np.asarray(synthetic.render_frame(
-            pan, y0=y0, width=width, offset=offset, seed=i, noise=noise),
-            dtype=np.uint8)
+            pan, y0=y0, width=width, offset=offset, seed=i, noise=noise,
+            style=("emboss" if i % 3 else "flat")), dtype=np.uint8)
 
         ref = o.scan_card_image(y, scan_expiry=False)
         ours = scan(y)
@@ -100,8 +100,8 @@ def main():
         ref_pan = our_pan = None
         for i in range(10):
             y = np.asarray(synthetic.render_frame(
-                pan, y0=150 + (s % 5) * 4, seed=1000 * s + i, noise=1),
-                dtype=np.uint8)
+                pan, y0=150 + (s % 5) * 4, seed=1000 * s + i, noise=1,
+                style=("emboss" if s % 3 else "flat")), dtype=np.uint8)
             ours.add_frame(y)
             o.scanner_add_frame(handle, y, scan_expiry=False)
             if ref_pan is None:
@@ -133,32 +133,26 @@ def main():
     dev_step = jax.jit(
         lambda st, y: scanner_step(params, st, y, config=ab_config))
     now = (2026, 8)
-    reliable = list(synthetic.RELIABLE_EXPIRY_DATES)
+    # Round-4: every session uses FULLY randomized layout (position,
+    # spacing, PAN row, noise) — the round-3 "reliable layout" crutch is
+    # gone. 3/4 of sessions use the embossed renderer (the training-
+    # distribution-shaped glyphs, tools/tune_emboss.py), 1/4 the flat
+    # renderer for diversity; dates are unrestricted digits (embossed
+    # glyphs read all ten).
     for s in range(args.expiry_sessions):
         if s % 8 == 7:       # out-of-window date: rejection agreement
             text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(32, 40))
         elif s % 8 == 3:     # past date
             text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(20, 26))
-        elif s % 2 == 0:     # reliable-renderer date (higher read rate —
-            #                  randomized PAN/row/noise still vary layout)
-            text = reliable[int(rng.integers(0, len(reliable)))]
         else:                # fully random in-window date
             text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(27, 31))
         want = (int(text[:2]), 2000 + int(text[3:]))
-        if s % 2 == 0 and s % 8 not in (3, 7):
-            # reliable layout: the renderer configuration the reference
-            # reads best (synthetic.py), date/PAN/row/noise randomized
-            y0 = int(rng.integers(148, 180))
-            ex = 120
-            ey = y0 + 27 + 35
-            spacing = 13
-            noise = int(rng.integers(0, 2))
-        else:
-            y0 = int(rng.integers(145, 205))
-            ex = int(rng.integers(90, 170))
-            ey = min(y0 + 27 + int(rng.integers(30, 46)), 252)
-            spacing = int(rng.integers(12, 15))
-            noise = int(rng.integers(0, 3))
+        style = "flat" if s % 4 == 1 else "emboss"
+        y0 = int(rng.integers(145, 205))
+        ex = int(rng.integers(90, 170))
+        ey = min(y0 + 27 + int(rng.integers(30, 46)), 240)
+        spacing = int(rng.integers(12, 15))
+        noise = int(rng.integers(0, 3))
         pan = synthetic.safe_pan(rng)
 
         ours = HostScanner(params, scan_expiry=True, now=now,
@@ -166,10 +160,10 @@ def main():
         dev = scanner_reset(now=now)
         handle = o.scanner_create()
         ref_date = our_date = dev_date = None
-        for i in range(12):
+        for i in range(16):
             y = np.asarray(synthetic.render_frame_with_expiry(
                 pan, text, y0=y0, expiry_y=ey, expiry_x=ex,
-                expiry_spacing=spacing, noise=noise,
+                expiry_spacing=spacing, noise=noise, style=style,
                 seed=7000 * s + i), dtype=np.uint8)
             ours.add_frame(y)
             dev, (_, dres) = dev_step(dev, y)

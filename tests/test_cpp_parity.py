@@ -556,8 +556,9 @@ def test_expiry_session_randomized_device_parity():
             text = "%02d/%02d" % (rng.integers(1, 13), rng.integers(27, 31))
         y0 = int(rng.integers(145, 200))
         ex = int(rng.integers(95, 160))
-        ey = min(y0 + 27 + int(rng.integers(30, 44)), 252)
+        ey = min(y0 + 27 + int(rng.integers(30, 44)), 240)
         spacing = int(rng.integers(12, 15))
+        style = "flat" if s % 4 == 1 else "emboss"
         pan = synthetic.safe_pan(rng)
 
         ours = HostScanner(params, scan_expiry=True, now=now,
@@ -569,7 +570,8 @@ def test_expiry_session_randomized_device_parity():
             for i in range(12):
                 y = np.asarray(synthetic.render_frame_with_expiry(
                     pan, text, y0=y0, expiry_y=ey, expiry_x=ex,
-                    expiry_spacing=spacing, seed=5100 * s + i), np.uint8)
+                    expiry_spacing=spacing, style=style,
+                    seed=5100 * s + i), np.uint8)
                 ours.add_frame(y)
                 dev, (_, dres) = dev_step(dev, y)
                 _oracle().scanner_add_frame(handle, y, scan_expiry=True)

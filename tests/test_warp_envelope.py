@@ -50,6 +50,9 @@ from cardio_dmz_tpu.constants import (MAX_ANGLE_DEVIATION,
                                       ORIENTATION_PORTRAIT,
                                       CARD_HEIGHT, CARD_WIDTH)
 from cardio_dmz_tpu.ops.warp import _block_starts
+from cardio_dmz_tpu.ops.pallas.warp_gather import (_ROW_BLOCK as P_ROW_BLOCK,
+                                                   _COL_CHUNK as P_COL_CHUNK,
+                                                   _chunk_qsets)
 
 ROW_BLOCK, ROW_WIN = 16, 192
 COL_BLOCK, COL_WIN = 64, 288
@@ -170,9 +173,20 @@ def _sweep(orientation, frame_shape=(480, 640)):
     edges_b = np.arange(0, OUT_H, ROW_BLOCK)
     BIG = np.int64(10 ** 6)
 
-    lo = dict.fromkeys("ABCD", np.inf)
-    hi = dict.fromkeys("ABCD", np.inf)
+    lo = dict.fromkeys("ABCDG", np.inf)
+    hi = dict.fromkeys("ABCDG", np.inf)
     bad_e = 0
+
+    # G: the Pallas kernel's static per-chunk stage-2 gather slices
+    wp = -(-in_w // 128) * 128
+    qsets = _chunk_qsets((xtl, xtr), OUT_W, in_w, wp, TILT * in_h / 2)
+    n_chunks = -(-OUT_W // P_COL_CHUNK)
+    q_lo = np.zeros(OUT_W, np.int64)
+    q_hi = np.zeros(OUT_W, np.int64)
+    for c in range(n_chunks):
+        cols = slice(c * P_COL_CHUNK, min((c + 1) * P_COL_CHUNK, OUT_W))
+        q_lo[cols] = min(qsets[c]) * 128
+        q_hi[cols] = (max(qsets[c]) + 1) * 128 - 1
 
     for q in sp:
         m = _rect_to_quad(q).astype(np.float32)
@@ -228,16 +242,26 @@ def _sweep(orientation, frame_shape=(480, 640)):
         lo["C"] = min(lo["C"], mmin(x0e - s_c, pickb))
         hi["C"] = min(hi["C"], mmin(s_c + COL_WIN - 1 - x0e, pickb))
 
+        # G: both tap columns inside the chunk's static gather slices
+        lo["G"] = min(lo["G"], mmin(x0e - q_lo[None, :], pickb),
+                      mmin(x1e - q_lo[None, :], vx1 & vy))
+        hi["G"] = min(hi["G"], mmin(q_hi[None, :] - x0e, pickb),
+                      mmin(q_hi[None, :] - x1e, vx1 & vy))
+
         # D: the Pallas kernel's picked-column window rule (both tap
-        # columns' bases must sit in the 128-row window)
-        jlo = np.minimum.reduceat(x0e.min(axis=1), edges_b)
-        jhi = np.clip(np.maximum.reduceat(x0e.max(axis=1), edges_b) + 1,
-                      0, in_w - 1)                             # (17,)
+        # columns' bases must sit in the 128-row window). Modeled at the
+        # kernel's OWN row-block size (P_ROW_BLOCK, 32 since round 4 —
+        # fewer grid steps), independent of the XLA form's 16-row blocks.
+        edges_p = np.arange(0, OUT_H, P_ROW_BLOCK)
+        bb_pal = np.minimum.reduceat(yb, edges_p, axis=0)      # (Bp, W)
+        jlo = np.minimum.reduceat(x0e.min(axis=1), edges_p)
+        jhi = np.clip(np.maximum.reduceat(x0e.max(axis=1), edges_p) + 1,
+                      0, in_w - 1)                             # (Bp,)
         jmask = (np.arange(in_w) >= jlo[:, None]) & \
-                (np.arange(in_w) <= jhi[:, None])              # (17, W)
-        kblk = np.where(jmask, bb, BIG).min(axis=1)            # (17,)
+                (np.arange(in_w) <= jhi[:, None])              # (Bp, W)
+        kblk = np.where(jmask, bb_pal, BIG).min(axis=1)        # (Bp,)
         k = np.clip(kblk // 32, 0, in_h // 32 - 4)
-        kk = np.repeat(k * 32, ROW_BLOCK)[:OUT_H][:, None]
+        kk = np.repeat(k * 32, P_ROW_BLOCK)[:OUT_H][:, None]
         lo["D"] = min(lo["D"], mmin(ybp - kk, pickb),
                       mmin(ybp1 - kk, vx1 & vy))
         hi["D"] = min(hi["D"], mmin(kk + 128 - 1 - (ybp + 2), pickb),
@@ -261,3 +285,4 @@ def test_warp_windows_cover_detector_envelope(orientation):
     # window that saturates at the image bounds)
     assert lo["C"] >= 0 and hi["C"] >= 0, (lo["C"], hi["C"])
     assert lo["D"] >= 0 and hi["D"] >= 4, (lo["D"], hi["D"])
+    assert lo["G"] >= 0 and hi["G"] >= 0, (lo["G"], hi["G"])
