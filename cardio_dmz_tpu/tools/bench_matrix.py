@@ -22,12 +22,15 @@ import json
 import subprocess
 import sys
 
+# Latency shapes pin a high iteration count: 50-iteration single-stream
+# loops on the axon tunnel show multi-x drift (measured 4.2 ms vs a stable
+# 1.6-1.7 ms at 100+ iters); throughput shapes are long enough already.
 SHAPES = {
     "full": [],
     "pan": ["--no-expiry"],
     "camera": ["--camera"],
-    "latency": ["--latency"],
-    "camera_latency": ["--camera", "--latency"],
+    "latency": ["--latency", "--iters", "200"],
+    "camera_latency": ["--camera", "--latency", "--iters", "200"],
 }
 
 
