@@ -112,10 +112,14 @@ def hough_best_line(edge_mask, dx, dy, *, rho=1.0, theta=math.pi / 180.0,
     qf = ((k >> 4)[..., None] == jnp.arange(nq, dtype=jnp.int32)) \
         & use[..., None, None]                               # (H, W, A, nq)
     rf = (k & 15)[..., None] == jnp.arange(16, dtype=jnp.int32)
-    counts = jnp.einsum("hwaq,hwar->aqr", qf.astype(jnp.float32),
-                        rf.astype(jnp.float32),
-                        preferred_element_type=jnp.float32)
-    counts = counts.reshape(numangle, nq * 16)[:, :nbins].astype(jnp.int32)
+    # int8 indicator operands with int32 accumulation: exact (0/1 products,
+    # counts <= H*W < 2^24) and 4x less HBM traffic than f32 operands for
+    # the (pixels, A, nq) tensor — the detect stage's dominant bytes
+    # (PERF.md §3; stage_bytes: detect ~9.5 GB/step @256 before this)
+    counts = jnp.einsum("hwaq,hwar->aqr", qf.astype(jnp.int8),
+                        rf.astype(jnp.int8),
+                        preferred_element_type=jnp.int32)
+    counts = counts.reshape(numangle, nq * 16)[:, :nbins]
 
     # Reference argmax scans r-major/angle-minor with strict > — first max
     # in that order wins. Encode as lexicographic (count, -scan_key) via

@@ -325,13 +325,14 @@ def _regrid(col_sums_full, bounds_left, bounds_width, n_min=11, n_max=15):
         n_chars, spacing
 
 
-def _trim_char(band21, char_left, group_top, char_width):
+def _trim_char(crop, char_left, group_top, char_width):
     """optimize_character_rects inner loop for one char
     (expiry_seg.cpp:255-331). Returns (top, left, valid).
 
-    band21: (21, 428) rows [group_top-2, group_top+19) of the sobel image,
-    extracted once per stripe (all chars share the rows), so the per-char
-    crop is a columns-only slice."""
+    crop: (21, 18) columns [l0, l0+18) of the stripe's 21-row sobel band,
+    extracted for ALL chars of a stripe at once by `stripe_trim` (one
+    shared-shift + one-hot MXU contraction; a per-char (18, 428) selector
+    here cost ~1.5 GB/step of HBM traffic @256 streams — PERF.md §3)."""
     cw = char_width + 4          # dynamic, <= 18
     ch = EXPANDED_H              # height always 17 + 4
     left0 = char_left - 2
@@ -339,13 +340,6 @@ def _trim_char(band21, char_left, group_top, char_width):
     valid = (left0 >= 0) & (left0 + cw <= CARD_WIDTH) & \
         (top0 + ch <= CARD_HEIGHT) & (top0 >= 0)
 
-    # columns-only crop as a one-hot contraction (a dynamic_slice of the
-    # shared band under the streams x chars vmap lowers to slice chains;
-    # each output sums exactly one nonzero product, so values are exact)
-    l0 = jnp.clip(left0, 0, CARD_WIDTH - EXPANDED_W)
-    sel = ((l0 + jnp.arange(EXPANDED_W))[:, None]
-           == jnp.arange(CARD_WIDTH)[None, :]).astype(jnp.float32)
-    crop = jnp.einsum("xc,rc->rx", sel, band21.astype(jnp.float32))
     col_in = jnp.arange(EXPANDED_W) < cw
     crop = jnp.where(col_in[None, :], crop, 0.0)
 
@@ -602,8 +596,18 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
                        sobel.astype(jnp.float32))             # (3, 21, 428)
 
     def stripe_trim(band, lefts_s, tops_s, cw_s):
-        return jax.vmap(lambda cl, tp, cw: _trim_char(band, cl, tp, cw))(
-            lefts_s, tops_s, cw_s)
+        # all chars of a stripe share the band: extract every char's
+        # (21, 18) crop in ONE contraction — 18 statically column-shifted
+        # band copies against a small (chars, 411) one-hot over the left
+        # position (exact: each output sums exactly one 1.0 * value term),
+        # instead of a per-char (18, 428) selector under the char vmap
+        n_pos = CARD_WIDTH - EXPANDED_W + 1               # 411
+        shifted = jnp.stack([band[:, x:x + n_pos]
+                             for x in range(EXPANDED_W)])  # (18, 21, 411)
+        l0 = jnp.clip(lefts_s - 2, 0, n_pos - 1)
+        oh = (l0[:, None] == jnp.arange(n_pos)[None, :]).astype(jnp.float32)
+        crops = jnp.einsum("kc,xrc->krx", oh, shifted)     # (K, 21, 18)
+        return jax.vmap(_trim_char)(crops, lefts_s, tops_s, cw_s)
 
     tops_f, lefts_f, valid_f = jax.vmap(stripe_trim)(
         bands,

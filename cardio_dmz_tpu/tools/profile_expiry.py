@@ -136,8 +136,14 @@ def fine(streams=64):
         bands = jax.vmap(lambda t: lax.dynamic_slice(
             sobel, (t, 0), (ed.EXPANDED_H, 428)))(band_top)
         def stripe_trim(band, lefts_s, tops_s, cw_s):
-            return jax.vmap(lambda cl, tp, cw: ed._trim_char(band, cl, tp, cw))(
-                lefts_s, tops_s, cw_s)
+            n_pos = 428 - ed.EXPANDED_W + 1
+            shifted = jnp.stack([band[:, x:x + n_pos]
+                                 for x in range(ed.EXPANDED_W)])
+            l0 = jnp.clip(lefts_s - 2, 0, n_pos - 1)
+            oh = (l0[:, None] == jnp.arange(n_pos)[None, :]).astype(
+                jnp.float32)
+            crops = jnp.einsum("kc,xrc->krx", oh, shifted)
+            return jax.vmap(ed._trim_char)(crops, lefts_s, tops_s, cw_s)
         return jax.vmap(stripe_trim)(
             bands, r_lefts.reshape(St_, G_ * ed.MAX_CHARS),
             jnp.broadcast_to(g_top[:, :, None], (St_, G_, ed.MAX_CHARS)
