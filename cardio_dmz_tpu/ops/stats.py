@@ -69,16 +69,28 @@ def equalize_hist(x):
         return out.astype(jnp.uint8).reshape(batch_shape + (h, w))
 
     if n <= _DENSE_EQUALIZE_MAX_PIXELS:
-        # one (B, 256, N) value-indicator tensor serves twice: the
-        # histogram (reduce over N), and the LUT apply (contract over the
-        # 256 values) — and the apply is a matmul
-        oh = flat[:, None, :] == jnp.arange(256)[None, :, None]
-        hist = jnp.sum(oh, axis=-1)                         # (B, 256)
-        cdf = jnp.cumsum(hist, axis=-1)
+        # two-level factored value indicator (v = 16q + r, as in
+        # ops/hough.py): the flat (B, 256, N) f32 one-hot this path used
+        # as a dot operand materialized ~2 GB/step of HBM traffic @256
+        # streams for the PAN digit cells. Factored, the only dot is the
+        # tiny int8 (16, N)x(N, 16) histogram; the LUT apply contracts the
+        # 16 q-levels then the 16 r-levels as FUSIONS (elementwise
+        # multiply + reduce), never materializing a 256-wide operand.
+        # Exact: indicator products are 0/1, counts and LUT values are
+        # small integers.
+        ohq = (flat[:, None, :] >> 4) == jnp.arange(16)[None, :, None]
+        ohr = (flat[:, None, :] & 15) == jnp.arange(16)[None, :, None]
+        hist = jnp.einsum("bqp,brp->bqr", ohq.astype(jnp.int8),
+                          ohr.astype(jnp.int8),
+                          preferred_element_type=jnp.int32)  # (B, 16, 16)
+        cdf = jnp.cumsum(hist.reshape(-1, 256), axis=-1)
         lut = jnp.clip(jnp.round(cdf.astype(jnp.float32) * (255.0 / n)),
                        0, 255)
         lut = lut.at[:, 0].set(0.0)                         # lut[0] = 0
-        out = jnp.einsum("bvp,bv->bp", oh.astype(jnp.float32), lut)
+        lutqr = lut.reshape(-1, 16, 16)
+        t = jnp.sum(lutqr[:, :, :, None] * ohq.astype(jnp.float32)[:, :, None, :],
+                    axis=1)                                  # (B, 16r, N)
+        out = jnp.sum(t * ohr.astype(jnp.float32), axis=1)   # (B, N)
         return out.astype(jnp.uint8).reshape(batch_shape + (h, w))
 
     def eq_one(v):
