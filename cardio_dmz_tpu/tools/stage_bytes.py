@@ -33,6 +33,52 @@ def _cost(fn, *inputs):
     return float(cost.get("flops", 0.0)), float(cost.get("bytes accessed", 0.0))
 
 
+def build_graphs(graph, streams):
+    """(fn, inputs) for a serving graph: scan | pan | camera (full)."""
+    import jax
+    import jax.numpy as jnp
+    from cardio_dmz_tpu import api
+    from cardio_dmz_tpu.constants import (CARD_HEIGHT, CARD_WIDTH,
+                                          ORIENTATION_LANDSCAPE_RIGHT)
+    from cardio_dmz_tpu.models.weights import load_all_params
+    from cardio_dmz_tpu.parallel.streams import (batched_scanner_step,
+                                                 init_stream_states)
+    from cardio_dmz_tpu.session.state import (FrameTelemetry,
+                                              scanner_add_frame)
+
+    params = load_all_params()
+    S = streams
+    rng = np.random.RandomState(0)
+    states = init_stream_states(S)
+    if graph in ("scan", "pan"):
+        frames = rng.randint(0, 256, (S, 270, 428)).astype(np.uint8)
+        expiry = graph == "scan"
+        return (lambda st, fr: batched_scanner_step(params, st, fr, expiry),
+                (states, frames))
+
+    y = rng.randint(0, 256, (S, 480, 640)).astype(np.uint8)
+    cb = rng.randint(0, 256, (S, 240, 320)).astype(np.uint8)
+    cr = rng.randint(0, 256, (S, 240, 320)).astype(np.uint8)
+
+    def telem(ys):
+        return FrameTelemetry(
+            focus_score=api.focus_score(ys),
+            brightness_score=api.brightness_score(ys),
+            iso_speed=jnp.zeros((), jnp.int32),
+            shutter_speed=jnp.zeros((), jnp.float32),
+            torch_is_on=jnp.zeros((), bool),
+            flipped=jnp.zeros((), bool))
+
+    def step_full(state, ys, cbs, crs):
+        found, card = api.preprocess_frame(ys, cbs, crs,
+                                           ORIENTATION_LANDSCAPE_RIGHT)
+        return scanner_add_frame(params, state, card, True,
+                                 telemetry=telem(ys), frame_gate=found)
+
+    return (lambda st, a, b, c: jax.vmap(step_full)(st, a, b, c),
+            (states, y, cb, cr))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=256)

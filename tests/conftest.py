@@ -19,4 +19,16 @@ try:
 except Exception:
     pass
 
+# Persistent compilation cache: the suite's cost on this 1-core host is
+# dominated by XLA:CPU compiles of the big serving graphs (the camera
+# graph alone is minutes); caching them across runs makes repeat suite
+# runs fast. Keyed on HLO, so code changes recompile automatically.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

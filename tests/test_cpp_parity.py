@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 import synthetic
+import tiers
 
 from cardio_dmz_tpu import refbridge
 from cardio_dmz_tpu.models.weights import load_all_params
@@ -669,11 +670,12 @@ def test_detect_edges_and_transform_parity():
     assert found_frames >= 4
 
 
-@pytest.mark.parametrize("orientation", [1, 2, 3, 4])
+@pytest.mark.parametrize("orientation", tiers.sweep([1, 2, 3, 4], [1, 3]))
 def test_detect_and_transform_all_orientations(orientation):
     """Corner detection + warp parity for every FrameOrientation
     (dmz_olm.h:19-22): the insets and the corner reordering
-    (dmz.cpp:446-471) differ per orientation."""
+    (dmz.cpp:446-471) differ per orientation. Fast tier covers one
+    portrait + one landscape; CARDIO_FULL_SWEEPS=1 runs all four."""
     import jax
     from cardio_dmz_tpu import api
 

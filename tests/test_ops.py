@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 import oracles
+import tiers
 from cardio_dmz_tpu import ops
 
 RNG = np.random.RandomState(42)
@@ -147,7 +148,7 @@ def test_bounded_hysteresis_equals_flood_on_detection_bands():
 
     boxes = api.detection_boxes((480, 640), 3)
     rng = np.random.RandomState(5)
-    for trial in range(2):
+    for trial in range(tiers.sweep(2, 1)):
         card = np.asarray(synthetic.render_frame(
             synthetic.safe_pan(np.random.default_rng(trial)), seed=trial))
         y = np.full((480, 640), 50, np.int32) + rng.randint(-4, 5, (480, 640))
@@ -192,7 +193,7 @@ def test_bounded_hysteresis_sandwich_on_percolating_noise():
     assert strong.any()  # the probe is only meaningful with seeds
     exact = np.asarray(hysteresis(jnp.asarray(cand), jnp.asarray(strong)))
     prev = strong & cand
-    for k in (1, 3, 8):
+    for k in tiers.sweep((1, 3, 8), (1, 3)):
         got = np.asarray(hysteresis_bounded(jnp.asarray(cand),
                                             jnp.asarray(strong), sweeps=k))
         assert (got >= prev).all()       # monotone in sweeps
@@ -210,7 +211,7 @@ def test_hysteresis_packed_equals_unpacked():
                                           hysteresis_bounded_unpacked)
 
     rng = np.random.RandomState(11)
-    for trial in range(8):
+    for trial in range(tiers.sweep(8, 4)):
         h = rng.randint(3, 70)
         w = rng.randint(3, 300)
         cand = rng.rand(h, w) < rng.uniform(0.2, 0.8)
@@ -262,7 +263,7 @@ def test_run_flood_matches_scalar_oracle():
         return out.T if axis % 2 == 0 else out
 
     rng = np.random.RandomState(3)
-    for trial in range(12):
+    for trial in range(tiers.sweep(12, 5)):
         h, w = rng.randint(2, 45), rng.randint(2, 45)
         cand = rng.rand(h, w) < rng.uniform(0.2, 0.8)
         edge = cand & (rng.rand(h, w) < 0.1)
