@@ -37,6 +37,7 @@ from ..constants import (
 )
 from ..models import apply_expiry_conv_mm
 from ..ops import bilateral3x3, equalize_hist, morph_grad3_2d_cross_u8
+from ..ops.select import window_select
 
 SMALL_W = 9
 SMALL_H = 15
@@ -400,9 +401,8 @@ def slash_probs_conv(slash_params, bands, roffs, lefts):
     contractions — no gathers, no per-window dynamic slices (both lower to
     per-lane loads under the stream vmap; measured 2.4 ms -> 0.96 ms @64):
 
-      1. columns: contract the 11 statically-shifted band copies with a
-         per-window one-hot over the left position
-         -> A[w, j, r] = band[r, left_w + j]
+      1. columns: two-level (16q + rem) one-hot window selection
+         (ops/select.py) -> A[w, j, r] = band[r, left_w + j]
       2. rows + weights: one matmul against the 6 row-offset-shifted
          copies of the first-layer weights (row offsets are only 0..5),
          then a one-hot contraction picks the window's offset.
@@ -411,19 +411,16 @@ def slash_probs_conv(slash_params, bands, roffs, lefts):
     to the band (roffs in [0, 6)). Returns (3, K) slash probabilities.
     """
     n_s, band_h, band_w = bands.shape
-    n_c = band_w - TRIM_W + 1                        # 418 left positions
     n_r = band_h - TRIM_H + 1                        # 6 row offsets
     k_win = roffs.shape[-1]
     w1 = (slash_params["hidden_w"].reshape(-1, TRIM_H, TRIM_W) / 255.0)
 
-    # stage 1: A[s, w, j, r] = band[s, r, left + j]
-    b16 = bands.astype(jnp.bfloat16)
-    shifted = jnp.stack([b16[:, :, j:j + n_c] for j in range(TRIM_W)],
-                        axis=1)                       # (3, 11, 21, 418)
-    onehot = (jnp.clip(lefts, 0, n_c - 1)[:, :, None] ==
-              jnp.arange(n_c)[None, None, :]).astype(jnp.bfloat16)
-    A = jnp.einsum("sjrc,swc->swjr", shifted, onehot,
-                   preferred_element_type=jnp.bfloat16)  # (3, K, 11, 21)
+    # stage 1: A[s, w, j, r] = band[s, r, left + j] — two-level one-hot
+    # window selection (ops/select.py; the 11-wide shifted-copy stack this
+    # replaces chained ~1.6 GB/step of pad fusions @256 streams)
+    A = window_select(bands, lefts, TRIM_W,
+                      dtype=jnp.bfloat16)             # (3, K, 21, 11)
+    A = jnp.swapaxes(A, -1, -2)                       # (3, K, 11, 21)
 
     # stage 2: TW[ro*80+o, j*21+r] = w1[o, r-ro, j]; one matmul for all 6
     # row offsets, then select the window's offset.
@@ -597,16 +594,12 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
 
     def stripe_trim(band, lefts_s, tops_s, cw_s):
         # all chars of a stripe share the band: extract every char's
-        # (21, 18) crop in ONE contraction — 18 statically column-shifted
-        # band copies against a small (chars, 411) one-hot over the left
-        # position (exact: each output sums exactly one 1.0 * value term),
-        # instead of a per-char (18, 428) selector under the char vmap
-        n_pos = CARD_WIDTH - EXPANDED_W + 1               # 411
-        shifted = jnp.stack([band[:, x:x + n_pos]
-                             for x in range(EXPANDED_W)])  # (18, 21, 411)
-        l0 = jnp.clip(lefts_s - 2, 0, n_pos - 1)
-        oh = (l0[:, None] == jnp.arange(n_pos)[None, :]).astype(jnp.float32)
-        crops = jnp.einsum("kc,xrc->krx", oh, shifted)     # (K, 21, 18)
+        # (21, 18) crop via the two-level (16q + rem) one-hot selection
+        # (ops/select.py — exact: each output sums exactly one 1.0 * value
+        # term). The previous X-wide shifted-copy stack lowered to a chain
+        # of 18 full-size bf16[256,3,18,21,411] pad fusions, ~4.3 GB of
+        # HBM traffic per step @256 streams — the pipeline's largest hog.
+        crops = window_select(band, lefts_s - 2, EXPANDED_W)  # (K, 21, 18)
         return jax.vmap(_trim_char)(crops, lefts_s, tops_s, cw_s)
 
     tops_f, lefts_f, valid_f = jax.vmap(stripe_trim)(
@@ -694,7 +687,6 @@ def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
     stage's dominant cost. Band values <= 255 are exact in bf16 and exactly
     one one-hot term is 1, so the extracted crops are bit-exact."""
     digit_idx = jnp.asarray([0, 1, 3, 4])
-    n_c = CARD_WIDTH - TRIM_W + 1
 
     band_tops = jnp.clip(windows.top - 2, 0, CARD_HEIGHT - EXPANDED_H)
     # rows-only crops as one one-hot contraction (dynamic_slice of the
@@ -709,14 +701,12 @@ def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
                        y_img[_SCHARR_BASE:].astype(jnp.float32)
                        ).astype(jnp.uint8)
 
-    shifted = jnp.stack([bands[:, :, j:j + n_c] for j in range(TRIM_W)],
-                        axis=1).astype(jnp.bfloat16)       # (W, 11, 21, 418)
     ctops = windows.char_tops[:, digit_idx]                 # (W, 4)
     clefts = windows.char_lefts[:, digit_idx]
-    onehot = (jnp.clip(clefts, 0, n_c - 1)[..., None] ==
-              jnp.arange(n_c)[None, None, :]).astype(jnp.bfloat16)
-    A = jnp.einsum("wjrc,wkc->wkrj", shifted, onehot,
-                   preferred_element_type=jnp.bfloat16)     # (W, 4, 21, 11)
+    # two-level one-hot window selection (ops/select.py) — replaces the
+    # 11-wide shifted-copy stack that chained full-size pad fusions
+    A = window_select(bands, clefts, TRIM_W,
+                      dtype=jnp.bfloat16)                   # (W, 4, 21, 11)
     roff = jnp.clip(ctops - band_tops[:, None], 0, EXPANDED_H - TRIM_H)
     ridx = roff[..., None] + jnp.arange(TRIM_H)[None, None, :]  # (W, 4, 16)
     oh_row = (ridx[..., None] == jnp.arange(EXPANDED_H)).astype(

@@ -371,3 +371,23 @@ def test_median_blur():
     # median of a constant region is constant
     const = np.full((30, 30), 99, np.uint8)
     np.testing.assert_array_equal(ops.median_blur(const, 5), const)
+
+
+def test_window_select_matches_direct_slices():
+    """ops/select.window_select == direct column-window slicing, batched
+    and unbatched, both serving widths (18 trim / 11 slash+digit), with
+    out-of-range lefts clipped like the one-hot forms it replaced."""
+    import jax.numpy as jnp
+    from cardio_dmz_tpu.ops.select import window_select
+
+    rng = np.random.RandomState(7)
+    for X, dtype in ((18, jnp.float32), (11, jnp.bfloat16)):
+        band = rng.randint(0, 256, (3, 21, 428)).astype(np.float32)
+        lefts = rng.randint(-4, 430, (3, 64)).astype(np.int32)
+        got = np.asarray(window_select(jnp.asarray(band),
+                                       jnp.asarray(lefts), X,
+                                       dtype=dtype)).astype(np.float32)
+        cl = np.clip(lefts, 0, 428 - X)
+        want = np.stack([np.stack([band[s, :, l:l + X] for l in cl[s]])
+                         for s in range(3)])
+        np.testing.assert_array_equal(got, want)
