@@ -1,6 +1,7 @@
 from .zoo import (  # noqa: F401
     apply_mlp,
     apply_pan_conv,
+    apply_pan_conv_mm,
     apply_expiry_conv,
     apply_expiry_conv_mm,
     pan_digit_scores,

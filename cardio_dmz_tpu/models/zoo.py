@@ -109,12 +109,63 @@ def pan_digit_scores(params_a, params_b, params_c, img):
 
     score = (r0 + r1 + r2 - max(r0, r1, r2)) / 2 — rewards 3/3 consensus.
     img: (..., 27, 19) float32. Returns (..., 10) scores.
+
+    Uses the matmul lowering (apply_pan_conv_mm): same math as
+    apply_pan_conv, MXU-shaped — XLA's cost model priced the conv form's
+    truncation slice + 6-D reshape maxpool at ~3 ms each per model @256
+    streams (layout-shattering ops on the tiled conv output).
     """
-    r0 = apply_pan_conv(params_a, img)
-    r1 = apply_pan_conv(params_b, img)
-    r2 = apply_pan_conv(params_c, img)
+    r0 = apply_pan_conv_mm(params_a, img)
+    r1 = apply_pan_conv_mm(params_b, img)
+    r2 = apply_pan_conv_mm(params_c, img)
     rmax = jnp.maximum(jnp.maximum(r0, r1), r2)
     return (r0 + r1 + r2 - rmax) / 2.0
+
+
+def _pool_perm(out_hw, pool_hw):
+    """Column permutation putting each non-overlapping pool window's taps
+    in the minor axis: q' = (pr, pc, dr, dc) for q = (pr*ph+dr, pc*pw+dc).
+    Pooling a matmul output ordered this way is a lane-local
+    reshape(..., ph*pw).max(-1) instead of a layout-shattering 6-D
+    strided reduce over the tiled conv output."""
+    oh, ow = out_hw
+    ph, pw = pool_hw
+    pr = np.arange(oh // ph)[:, None, None, None]
+    pc = np.arange(ow // pw)[None, :, None, None]
+    dr = np.arange(ph)[None, None, :, None]
+    dc = np.arange(pw)[None, None, None, :]
+    return ((pr * ph + dr) * ow + pc * pw + dc).reshape(-1)
+
+
+def _pan_conv_matmul(params):
+    """(513, 8*8*5*9) dense matrix: 3x3 correlation + pool-window column
+    ordering folded into the weights (see apply_pan_conv for semantics)."""
+    w = params["conv_w"].reshape(8, 9)
+    m = w[:, _PAN_IDX] * _PAN_MASK                 # (8, 513, 360)
+    m = m[:, :, _pool_perm((24, 15), (3, 3))]      # windows minor
+    return m.transpose(1, 0, 2).reshape(513, 8 * 360)
+
+
+def apply_pan_conv_mm(params, img):
+    """apply_pan_conv with the 3x3 correlation lowered as one dense matmul
+    (im2col folded into the weights, like apply_expiry_conv_mm) and the
+    output columns pre-permuted so the 3x3 maxpool is a minor-axis
+    reshape(..., 9).max(-1). Column permutation + interleaved exact zeros
+    only: each output tap set and its summation order match
+    apply_pan_conv, so results agree to float-rounding noise."""
+    if img.shape[-2:] != (27, 19):
+        raise ValueError(
+            f"PAN digit cell must be (..., 27, 19) (H, W); got {img.shape}")
+    batch_shape = img.shape[:-2]
+    x = img.reshape((-1, 513))
+    n = x.shape[0]
+    c = _dot(x, _pan_conv_matmul(params))          # (N, 8*8*5*9)
+    pooled = c.reshape(n, 8, 8, 5, 9).max(-1)      # (N, 8k, 8r, 5c)
+    act = _tanh(pooled + params["conv_b"][None, :, None, None])
+    flat = act.reshape(n, 320)
+    h = _tanh(_dot(flat, params["hidden_w"].T) + params["hidden_b"])
+    logits = _dot(h, params["logistic_w"].T) + params["logistic_b"]
+    return _softmax(logits).reshape(batch_shape + (10,))
 
 
 def apply_expiry_conv(params, img, return_intermediates=False):
@@ -185,6 +236,8 @@ def _conv_as_matmul_tables(in_hw, out_hw, k, pad):
     return jnp.asarray(flat, jnp.int32), jnp.asarray(mask, jnp.float32)
 
 
+# PAN conv: 27x19 input, 3x3 valid truncated to 24x15 (-> 3x3 pool to 8x5)
+_PAN_IDX, _PAN_MASK = _conv_as_matmul_tables((27, 19), (24, 15), 3, (0, 0))
 # expiry conv1: 16x11 input, 5x5 kernel, padding lo (4, 4) -> 20x14 out
 _EXP_C1_IDX, _EXP_C1_MASK = _conv_as_matmul_tables((16, 11), (20, 14), 5,
                                                    (4, 4))
@@ -212,20 +265,24 @@ def apply_expiry_conv_mm(params, img):
     x = x - x.mean(axis=-1, keepdims=True)
     n = x.shape[0]
 
+    # pool windows pre-permuted into the minor axis (see _pool_perm): the
+    # 6-D strided reshape-maxpools over the tiled matmul outputs were
+    # layout-shattering (XLA priced the conv1 pool at ~2 ms @256 streams)
     w1 = params["conv1_w"].reshape(50, 25)            # (50, 5*5)
     m1 = w1[:, _EXP_C1_IDX] * _EXP_C1_MASK            # (50, 176, 280)
+    m1 = m1[:, :, _pool_perm((20, 14), (2, 2))]
     m1 = m1.transpose(1, 0, 2).reshape(176, 50 * 280)
-    c1 = _dot(x, m1).reshape(n, 50, 20, 14)
-    p1 = c1.reshape(n, 50, 10, 2, 7, 2).max(axis=(3, 5))   # (N, 50, 10, 7)
+    c1 = _dot(x, m1)                                  # (N, 50*10*7*4)
+    p1 = c1.reshape(n, 50, 10, 7, 4).max(-1)          # (N, 50, 10, 7)
     a1 = jnp.maximum(p1 + params["conv1_b"][None, :, None, None], 0.0)
 
     w2 = params["conv2_w"].reshape(40, 50, 25)
     m2 = w2[:, :, _EXP_C2_IDX] * _EXP_C2_MASK         # (40, 50, 70, 18)
+    m2 = m2[:, :, :, _pool_perm((6, 3), (2, 3))]
     m2 = m2.transpose(1, 2, 0, 3).reshape(50 * 70, 40 * 18)
-    c2 = _dot(a1.reshape(n, 3500), m2).reshape(n, 40, 6, 3)
-    p2 = c2.reshape(n, 40, 3, 2, 1, 3).max(axis=(3, 5))    # (N, 40, 3, 1)
-    a2 = jnp.maximum(p2.reshape(n, 40, 3) + params["conv2_b"][None, :, None],
-                     0.0)
+    c2 = _dot(a1.reshape(n, 3500), m2)                # (N, 40*3*6)
+    p2 = c2.reshape(n, 40, 3, 6).max(-1)              # (N, 40, 3)
+    a2 = jnp.maximum(p2 + params["conv2_b"][None, :, None], 0.0)
 
     flat = a2.reshape(n, 120)
     h = jnp.maximum(_dot(flat, params["hidden_w"].T) + params["hidden_b"], 0.0)

@@ -88,9 +88,15 @@ def equalize_hist(x):
                        0, 255)
         lut = lut.at[:, 0].set(0.0)                         # lut[0] = 0
         lutqr = lut.reshape(-1, 16, 16)
-        t = jnp.sum(lutqr[:, :, :, None] * ohq.astype(jnp.float32)[:, :, None, :],
-                    axis=1)                                  # (B, 16r, N)
-        out = jnp.sum(t * ohr.astype(jnp.float32), axis=1)   # (B, N)
+        # LUT apply as ONE joint (q, r) masked reduce: exactly one (q, r)
+        # pair matches per pixel, so the sum IS that pixel's LUT value.
+        # Two chained per-level reduces materialized a (B, 16, N) f32
+        # intermediate plus f32 indicator copies (~0.4 GB/step @256
+        # streams); the joint form fuses into a single reduce that reads
+        # only the s8 indicators already materialized for the hist dot.
+        hit = ohq[:, :, None, :] & ohr[:, None, :, :]        # (B,16,16,N)
+        out = jnp.sum(jnp.where(hit, lutqr[:, :, :, None], 0.0),
+                      axis=(1, 2))                           # (B, N)
         return out.astype(jnp.uint8).reshape(batch_shape + (h, w))
 
     def eq_one(v):

@@ -37,7 +37,7 @@ from ..constants import (
 )
 from ..models import apply_expiry_conv_mm
 from ..ops import bilateral3x3, equalize_hist, morph_grad3_2d_cross_u8
-from ..ops.select import window_select
+from ..ops.select import coarse_blocks
 
 SMALL_W = 9
 SMALL_H = 15
@@ -326,14 +326,20 @@ def _regrid(col_sums_full, bounds_left, bounds_width, n_min=11, n_max=15):
         n_chars, spacing
 
 
-def _trim_char(crop, char_left, group_top, char_width):
+_TRIM_WIDE = 16 + EXPANDED_W          # 34: coarse window width for trimming
+
+
+def _trim_char(wide, rem, char_left, group_top, char_width):
     """optimize_character_rects inner loop for one char
     (expiry_seg.cpp:255-331). Returns (top, left, valid).
 
-    crop: (21, 18) columns [l0, l0+18) of the stripe's 21-row sobel band,
-    extracted for ALL chars of a stripe at once by `stripe_trim` (one
-    shared-shift + one-hot MXU contraction; a per-char (18, 428) selector
-    here cost ~1.5 GB/step of HBM traffic @256 streams — PERF.md §3)."""
+    wide: (21, 34) = band columns [16q, 16q + 34) around the char, where
+    l0 = char_left - 2 = 16q + rem; the char's 18 columns sit at
+    [rem, rem + 18) inside `wide`. Operating directly on the 16-aligned
+    coarse window (masks shifted by rem) avoids materializing per-char
+    crops entirely: the fine-selection matmul/stack forms this replaces
+    cost 4.3 GB (chained shift-stack pads) / ~6 ms (batched-tiny-dot
+    layout copies) per step @256 streams."""
     cw = char_width + 4          # dynamic, <= 18
     ch = EXPANDED_H              # height always 17 + 4
     left0 = char_left - 2
@@ -341,8 +347,11 @@ def _trim_char(crop, char_left, group_top, char_width):
     valid = (left0 >= 0) & (left0 + cw <= CARD_WIDTH) & \
         (top0 + ch <= CARD_HEIGHT) & (top0 >= 0)
 
-    col_in = jnp.arange(EXPANDED_W) < cw
-    crop = jnp.where(col_in[None, :], crop, 0.0)
+    # column u of `wide` is crop column u - rem
+    cols_iota = jnp.arange(_TRIM_WIDE) - rem          # crop-relative index
+    rows_iota = jnp.arange(EXPANDED_H)
+    col_in = (cols_iota >= 0) & (cols_iota < cw)
+    crop = jnp.where(col_in[None, :], wide, 0.0)
 
     m = jnp.max(jnp.abs(crop))
     crop = jnp.where(m > 0, jnp.round(crop * (255.0 / jnp.maximum(m, 1e-6))),
@@ -353,9 +362,6 @@ def _trim_char(crop, char_left, group_top, char_width):
     # per-lane gather under the (streams x stripes x groups x chars) vmap —
     # dominant cost of the whole seg graph. One-hot reductions keep every
     # access a fused elementwise+reduce instead.
-    cols_iota = jnp.arange(EXPANDED_W)
-    rows_iota = jnp.arange(EXPANDED_H)
-
     def at(sums, iota, i):
         return jnp.sum(jnp.where(iota == i, sums, 0.0))
 
@@ -401,8 +407,9 @@ def slash_probs_conv(slash_params, bands, roffs, lefts):
     contractions — no gathers, no per-window dynamic slices (both lower to
     per-lane loads under the stream vmap; measured 2.4 ms -> 0.96 ms @64):
 
-      1. columns: two-level (16q + rem) one-hot window selection
-         (ops/select.py) -> A[w, j, r] = band[r, left_w + j]
+      1. columns: contract the 11 statically-shifted band copies with a
+         per-window one-hot over the left position
+         -> A[w, j, r] = band[r, left_w + j]
       2. rows + weights: one matmul against the 6 row-offset-shifted
          copies of the first-layer weights (row offsets are only 0..5),
          then a one-hot contraction picks the window's offset.
@@ -415,12 +422,15 @@ def slash_probs_conv(slash_params, bands, roffs, lefts):
     k_win = roffs.shape[-1]
     w1 = (slash_params["hidden_w"].reshape(-1, TRIM_H, TRIM_W) / 255.0)
 
-    # stage 1: A[s, w, j, r] = band[s, r, left + j] — two-level one-hot
-    # window selection (ops/select.py; the 11-wide shifted-copy stack this
-    # replaces chained ~1.6 GB/step of pad fusions @256 streams)
-    A = window_select(bands, lefts, TRIM_W,
-                      dtype=jnp.bfloat16)             # (3, K, 21, 11)
-    A = jnp.swapaxes(A, -1, -2)                       # (3, K, 11, 21)
+    # stage 1: A[s, w, j, r] = band[s, r, left + j]
+    n_c = band_w - TRIM_W + 1                         # 418 left positions
+    b16 = bands.astype(jnp.bfloat16)
+    shifted = jnp.stack([b16[:, :, j:j + n_c] for j in range(TRIM_W)],
+                        axis=1)                       # (3, 11, 21, 418)
+    onehot = (jnp.clip(lefts, 0, n_c - 1)[:, :, None] ==
+              jnp.arange(n_c)[None, None, :]).astype(jnp.bfloat16)
+    A = jnp.einsum("sjrc,swc->swjr", shifted, onehot,
+                   preferred_element_type=jnp.bfloat16)  # (3, K, 11, 21)
 
     # stage 2: TW[ro*80+o, j*21+r] = w1[o, r-ro, j]; one matmul for all 6
     # row offsets, then select the window's offset.
@@ -593,14 +603,22 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
                        sobel.astype(jnp.float32))             # (3, 21, 428)
 
     def stripe_trim(band, lefts_s, tops_s, cw_s):
-        # all chars of a stripe share the band: extract every char's
-        # (21, 18) crop via the two-level (16q + rem) one-hot selection
-        # (ops/select.py — exact: each output sums exactly one 1.0 * value
-        # term). The previous X-wide shifted-copy stack lowered to a chain
-        # of 18 full-size bf16[256,3,18,21,411] pad fusions, ~4.3 GB of
-        # HBM traffic per step @256 streams — the pipeline's largest hog.
-        crops = window_select(band, lefts_s - 2, EXPANDED_W)  # (K, 21, 18)
-        return jax.vmap(_trim_char)(crops, lefts_s, tops_s, cw_s)
+        # all chars of a stripe share the band: hand each char the
+        # 16-aligned 34-wide coarse window around its left position
+        # (l0 = 16q + rem; one small one-hot matmul over ~27 positions,
+        # built by reshape + 3-way concat — ops/select.coarse_blocks) and
+        # let _trim_char mask by rem. No per-char crop is materialized:
+        # the 18-wide shifted-copy stack this replaces lowered to a chain
+        # of full-size bf16[256,3,18,21,411] pad fusions (~4.3 GB/step
+        # @256), and a fine-selection matmul lowers to batched-tiny-dot
+        # layout copies (~6 ms/step) — both measured worse.
+        l0 = jnp.clip(lefts_s - 2, 0, CARD_WIDTH - EXPANDED_W)
+        q, rem = l0 // 16, l0 % 16
+        blocks = coarse_blocks(band, _TRIM_WIDE)          # (Q, 21, 34)
+        ohq = (q[:, None] == jnp.arange(blocks.shape[0])).astype(
+            jnp.float32)
+        wide = jnp.einsum("kq,qru->kru", ohq, blocks)     # (K, 21, 34)
+        return jax.vmap(_trim_char)(wide, rem, lefts_s, tops_s, cw_s)
 
     tops_f, lefts_f, valid_f = jax.vmap(stripe_trim)(
         bands,
@@ -701,12 +719,15 @@ def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
                        y_img[_SCHARR_BASE:].astype(jnp.float32)
                        ).astype(jnp.uint8)
 
+    n_c = CARD_WIDTH - TRIM_W + 1
+    shifted = jnp.stack([bands[:, :, j:j + n_c] for j in range(TRIM_W)],
+                        axis=1).astype(jnp.bfloat16)       # (W, 11, 21, 418)
     ctops = windows.char_tops[:, digit_idx]                 # (W, 4)
     clefts = windows.char_lefts[:, digit_idx]
-    # two-level one-hot window selection (ops/select.py) — replaces the
-    # 11-wide shifted-copy stack that chained full-size pad fusions
-    A = window_select(bands, clefts, TRIM_W,
-                      dtype=jnp.bfloat16)                   # (W, 4, 21, 11)
+    onehot = (jnp.clip(clefts, 0, n_c - 1)[..., None] ==
+              jnp.arange(n_c)[None, None, :]).astype(jnp.bfloat16)
+    A = jnp.einsum("wjrc,wkc->wkrj", shifted, onehot,
+                   preferred_element_type=jnp.bfloat16)     # (W, 4, 21, 11)
     roff = jnp.clip(ctops - band_tops[:, None], 0, EXPANDED_H - TRIM_H)
     ridx = roff[..., None] + jnp.arange(TRIM_H)[None, None, :]  # (W, 4, 16)
     oh_row = (ridx[..., None] == jnp.arange(EXPANDED_H)).astype(

@@ -74,3 +74,26 @@ def test_runtime_self_check():
     results = self_check()
     assert len(results) == 6
     assert all(results.values()), results
+
+
+def test_pan_conv_mm_matches_conv_form():
+    """The serving matmul lowering (apply_pan_conv_mm) == the conv form on
+    random cells to float-rounding noise, at both precisions (the matmul
+    is the same tap sums with interleaved exact zeros + a column
+    permutation)."""
+    import numpy as np
+    from cardio_dmz_tpu.models import apply_pan_conv, apply_pan_conv_mm
+    from cardio_dmz_tpu.models.weights import load_all_params
+    from cardio_dmz_tpu.models import zoo
+
+    rng = np.random.default_rng(9)
+    cells = rng.uniform(0, 1, (7, 27, 19)).astype(np.float32)
+    for key in ("pan_conv_a", "pan_conv_b", "pan_conv_c"):
+        p = load_all_params()[key]
+        zoo.set_precision("highest")
+        try:
+            a = np.asarray(apply_pan_conv(p, cells))
+            b = np.asarray(apply_pan_conv_mm(p, cells))
+        finally:
+            zoo.set_precision("default")
+        np.testing.assert_allclose(a, b, atol=2e-6)
