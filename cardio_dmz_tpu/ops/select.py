@@ -34,9 +34,10 @@ _STRIDE = 16
 def coarse_blocks(band, width):
     """16-aligned windows of ``width`` <= 48 columns, every 16 columns.
 
-    band: (..., R, C). Returns (..., Q, R, width) with
-    windows[..., q, r, u] = band[..., r, 16*q + u] (zero-padded past C),
-    built from one reshape + one concat (single materialized buffer).
+    band: (..., R, C). Returns (..., R, Q, width) with
+    windows[..., r, q, u] = band[..., r, 16*q + u] (zero-padded past C),
+    built from one reshape + one concat (single materialized buffer; no
+    transpose — contract with einsum "...kq,...rqu->...kru").
     """
     assert width <= 3 * _STRIDE
     c = band.shape[-1]
@@ -47,7 +48,6 @@ def coarse_blocks(band, width):
     wide = jnp.concatenate(
         [blocks[..., :-2, :], blocks[..., 1:-1, :], blocks[..., 2:, :]],
         axis=-1)                                  # (..., R, nb-2, 48)
-    wide = jnp.moveaxis(wide, -2, -3)             # (..., nb-2, R, 48)
     return wide[..., :width]
 
 
@@ -62,12 +62,12 @@ def window_select(band, lefts, x_width, dtype=jnp.float32):
     c = band.shape[-1]
     u = _STRIDE + x_width                         # window width needed
     assert u <= 3 * _STRIDE, "x_width > 32 unsupported"
-    wide = coarse_blocks(band.astype(dtype), u)   # (..., Q, R, U)
-    q_pos = wide.shape[-3]
+    wide = coarse_blocks(band.astype(dtype), u)   # (..., R, Q, U)
+    q_pos = wide.shape[-2]
     l0 = jnp.clip(lefts, 0, c - x_width)
     q, rem = l0 // _STRIDE, l0 % _STRIDE
     ohq = (q[..., None] == jnp.arange(q_pos)).astype(dtype)    # (..., K, Q)
-    w = jnp.einsum("...kq,...qru->...kru", ohq, wide)          # (..., K, R, U)
+    w = jnp.einsum("...kq,...rqu->...kru", ohq, wide)          # (..., K, R, U)
     fine = ((rem[..., None, None] + jnp.arange(x_width)[None, :])
             == jnp.arange(u)[:, None]).astype(dtype)           # (..., K, U, X)
     return jnp.einsum("...kru,...kux->...krx", w.astype(dtype), fine)

@@ -83,20 +83,26 @@ def equalize_hist(x):
         hist = jnp.einsum("bqp,brp->bqr", ohq.astype(jnp.int8),
                           ohr.astype(jnp.int8),
                           preferred_element_type=jnp.int32)  # (B, 16, 16)
-        cdf = jnp.cumsum(hist.reshape(-1, 256), axis=-1)
-        lut = jnp.clip(jnp.round(cdf.astype(jnp.float32) * (255.0 / n)),
-                       0, 255)
-        lut = lut.at[:, 0].set(0.0)                         # lut[0] = 0
-        lutqr = lut.reshape(-1, 16, 16)
-        # LUT apply as ONE joint (q, r) masked reduce: exactly one (q, r)
-        # pair matches per pixel, so the sum IS that pixel's LUT value.
-        # Two chained per-level reduces materialized a (B, 16, N) f32
-        # intermediate plus f32 indicator copies (~0.4 GB/step @256
-        # streams); the joint form fuses into a single reduce that reads
-        # only the s8 indicators already materialized for the hist dot.
-        hit = ohq[:, :, None, :] & ohr[:, None, :, :]        # (B,16,16,N)
-        out = jnp.sum(jnp.where(hit, lutqr[:, :, :, None], 0.0),
-                      axis=(1, 2))                           # (B, N)
+        # LUT apply via the RANK identity instead of a 256-wide per-pixel
+        # selection (the joint (q, r) masked reduce this replaces was the
+        # pipeline's #1 op by XLA's cost model, 256 ops/pixel):
+        #   lut[v_i] = round(cdf[v_i] * 255/n),
+        #   cdf[v_i] = rank_i = #(v_j < 16 q_i) + #(q_j == q_i & r_j <= r_i)
+        #            = cumq[q_i] + T[r_i, q_i],  T = cumsum_r hist^T.
+        # T selected by r via ONE tiny batched MXU dot against the s8
+        # r-indicator; q selects fold into a 16-wide fused reduce.
+        histf = hist.astype(jnp.float32)
+        t_tab = jnp.cumsum(histf, axis=-1)                   # (B, q, <=r)
+        cumq = jnp.cumsum(jnp.sum(histf, axis=-1), axis=-1)  # inclusive
+        cumq = cumq - jnp.sum(histf, axis=-1)                # exclusive
+        # counts reach n > 256, beyond bf16's exact-integer range: pin the
+        # (tiny, K=16) selection dot to full f32 precision
+        t_sel = jnp.einsum("brp,bqr->bqp", ohr.astype(jnp.float32),
+                           t_tab, precision=jax.lax.Precision.HIGHEST)
+        rank = jnp.sum(jnp.where(ohq, cumq[:, :, None] + t_sel, 0.0),
+                       axis=1)                               # (B, N)
+        out = jnp.clip(jnp.round(rank * (255.0 / n)), 0, 255)
+        out = jnp.where(flat == 0, 0.0, out)                 # lut[0] = 0
         return out.astype(jnp.uint8).reshape(batch_shape + (h, w))
 
     def eq_one(v):

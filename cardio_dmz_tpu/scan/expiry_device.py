@@ -614,10 +614,10 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
         # layout copies (~6 ms/step) — both measured worse.
         l0 = jnp.clip(lefts_s - 2, 0, CARD_WIDTH - EXPANDED_W)
         q, rem = l0 // 16, l0 % 16
-        blocks = coarse_blocks(band, _TRIM_WIDE)          # (Q, 21, 34)
-        ohq = (q[:, None] == jnp.arange(blocks.shape[0])).astype(
+        blocks = coarse_blocks(band, _TRIM_WIDE)          # (21, Q, 34)
+        ohq = (q[:, None] == jnp.arange(blocks.shape[-2])).astype(
             jnp.float32)
-        wide = jnp.einsum("kq,qru->kru", ohq, blocks)     # (K, 21, 34)
+        wide = jnp.einsum("kq,rqu->kru", ohq, blocks)     # (K, 21, 34)
         return jax.vmap(_trim_char)(wide, rem, lefts_s, tops_s, cw_s)
 
     tops_f, lefts_f, valid_f = jax.vmap(stripe_trim)(

@@ -89,29 +89,85 @@ def rank_hlo(hlo_text, top):
     return rows[:top]
 
 
+_CYCLES_RE = re.compile(r'"estimated_cycles":"(\d+)"')
+_SRC_RE = re.compile(r'source_file="([^"]+)" source_line=(\d+)')
+
+
+def rank_cycles(hlo_text, top):
+    """Rank top-level instructions / source lines by the TPU backend's own
+    estimated_cycles (backend_config). This is the analysis that exposed
+    the round-4 hot spots the byte counts missed: the PAN conv pool's
+    layout-shattering reduce was priced ~3 ms/model while touching only
+    ~56 MB. Returns (per_line, per_src) where per_src aggregates by
+    source_file:line."""
+    rows, per_src = [], {}
+    in_fused = False
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        if s.startswith("%fused_computation"):
+            in_fused = True
+            continue
+        if s.startswith("ENTRY") or (s.startswith("}") and in_fused):
+            in_fused = False
+        if in_fused:
+            continue
+        c = _CYCLES_RE.search(s)
+        if not c:
+            continue
+        cyc = int(c.group(1))
+        m = _INSTR_RE.match(line)
+        name = m.group(1) if m else "?"
+        meta = _SRC_RE.search(s)
+        src = (f"{meta.group(1).split('/')[-1]}:{meta.group(2)}"
+               if meta else "?")
+        rows.append((cyc, name, src))
+        per_src[src] = per_src.get(src, 0) + cyc
+    rows.sort(key=lambda r: -r[0])
+    srcs = sorted(per_src.items(), key=lambda kv: -kv[1])
+    return rows[:top], srcs[:top], sum(per_src.values())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=256)
     ap.add_argument("--graph", default="scan",
                     choices=["scan", "pan", "camera"])
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--cycles", action="store_true",
+                    help="also rank by the backend's estimated_cycles")
+    ap.add_argument("--hlo-file", default=None,
+                    help="analyze an existing dump instead of compiling")
     args = ap.parse_args()
 
-    import jax
-    from cardio_dmz_tpu.tools.stage_bytes import build_graphs
+    if args.hlo_file:
+        hlo = open(args.hlo_file).read()
+    else:
+        import jax
+        from cardio_dmz_tpu.tools.stage_bytes import build_graphs
 
-    fn, inputs = build_graphs(args.graph, args.streams)
-    compiled = jax.jit(fn).lower(*inputs).compile()
-    hlo = compiled.as_text()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
-    total_gb = float(cost.get("bytes accessed", 0.0)) / 1e9
-    print(f"# {args.graph} @{args.streams}: {total_gb:.2f} GB/step "
-          f"(XLA bytes accessed)")
+        fn, inputs = build_graphs(args.graph, args.streams)
+        compiled = jax.jit(fn).lower(*inputs).compile()
+        hlo = compiled.as_text()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        total_gb = float(cost.get("bytes accessed", 0.0)) / 1e9
+        print(f"# {args.graph} @{args.streams}: {total_gb:.2f} GB/step "
+              f"(XLA bytes accessed)")
     print(f"{'MB out':>9}  {'opcode':<18} op_name")
     for b, name, opcode, meta in rank_hlo(hlo, args.top):
         print(f"{b / 1e6:9.1f}  {opcode:<18} {meta or name}")
+    if args.cycles:
+        rows, srcs, tot = rank_cycles(hlo, args.top)
+        print(f"\n# estimated_cycles total {tot / 1e6:.1f}M "
+              f"(~{tot / 0.94e9 * 1e3:.1f} ms at 940 MHz; pessimistic "
+              f"in absolute terms, trust the ranking)")
+        print("# -- by source line --")
+        for s, c in srcs:
+            print(f"{c / 1e6:8.2f}M ({c / 0.94e9 * 1e3:6.2f} ms)  {s}")
+        print("# -- top single ops --")
+        for c, name, src in rows[:15]:
+            print(f"{c / 1e6:8.2f}M  {name:30s} {src}")
 
 
 if __name__ == "__main__":
