@@ -116,9 +116,12 @@ def scharr_dx_abs_below(y_img, y_start):
     """expiry_seg.cpp:714-739 with the ROI realized as masking + boundary
     clamp at the dynamic row y_start (= vseg_y + 27, always >= 142).
 
-    Returns the (136, 428) lower band (rows [_SCHARR_BASE, 270) of the
-    card, absolute row r at band index r - _SCHARR_BASE)."""
-    xi = y_img[_SCHARR_BASE:].astype(jnp.int32)
+    Returns the (136, 428) int16 lower band (rows [_SCHARR_BASE, 270) of
+    the card, absolute row r at band index r - _SCHARR_BASE). int16 on
+    purpose: values are <= 3*(255+255) + 10*255 = 4080, and the plane and
+    its maskings are materialized several times per step — int32 cost
+    ~0.4 GB/step @256 streams (hlo_hogs round 5)."""
+    xi = y_img[_SCHARR_BASE:].astype(jnp.int16)
     left = jnp.concatenate([xi[:, :1], xi[:, :-1]], axis=1)
     right = jnp.concatenate([xi[:, 1:], xi[:, -1:]], axis=1)
     d = jnp.abs(right - left)
@@ -141,7 +144,8 @@ def select_stripes(sobel, y_start):
     bases in absolute card rows."""
     left_edge = SMALL_W * 3
     right_edge = (CARD_WIDTH * 2) // 3
-    ls = jnp.pad(jnp.sum(sobel[:, left_edge:right_edge], axis=1),
+    ls = jnp.pad(jnp.sum(sobel[:, left_edge:right_edge].astype(jnp.int32),
+                         axis=1),
                  (_SCHARR_BASE, 0))                       # (270,) int32
 
     first_base = y_start + 1
@@ -407,9 +411,17 @@ def slash_probs_conv(slash_params, bands, roffs, lefts):
     contractions — no gathers, no per-window dynamic slices (both lower to
     per-lane loads under the stream vmap; measured 2.4 ms -> 0.96 ms @64):
 
-      1. columns: contract the 11 statically-shifted band copies with a
-         per-window one-hot over the left position
-         -> A[w, j, r] = band[r, left_w + j]
+      1. columns: contract the band against ONE combined one-hot
+         oh[w, j, c] = (c == left_w + j)  ->  A[w, j, r] = band[r, left_w+j].
+         Folding the column shift j into the one-hot (instead of stacking
+         11 shifted band copies and one-hotting only the left position)
+         matters: XLA rewrites the 11-way stack into a CHAIN of full-size
+         concat fusions — 11 x 148 MB/step @256, the largest HBM hog in
+         the round-4 scan HLO (hlo_hogs). The combined one-hot is one
+         broadcast-compare fusion (~350 MB) consumed by one shared-
+         contraction matmul; a two-level 16-aligned selection was also
+         tried and lost (its fine stage is a per-window tiny dot, which
+         lowers to batched-tiny-dot layout copies — 12.2 vs 10.1 ms/step).
       2. rows + weights: one matmul against the 6 row-offset-shifted
          copies of the first-layer weights (row offsets are only 0..5),
          then a one-hot contraction picks the window's offset.
@@ -422,14 +434,13 @@ def slash_probs_conv(slash_params, bands, roffs, lefts):
     k_win = roffs.shape[-1]
     w1 = (slash_params["hidden_w"].reshape(-1, TRIM_H, TRIM_W) / 255.0)
 
-    # stage 1: A[s, w, j, r] = band[s, r, left + j]
-    n_c = band_w - TRIM_W + 1                         # 418 left positions
-    b16 = bands.astype(jnp.bfloat16)
-    shifted = jnp.stack([b16[:, :, j:j + n_c] for j in range(TRIM_W)],
-                        axis=1)                       # (3, 11, 21, 418)
-    onehot = (jnp.clip(lefts, 0, n_c - 1)[:, :, None] ==
-              jnp.arange(n_c)[None, None, :]).astype(jnp.bfloat16)
-    A = jnp.einsum("sjrc,swc->swjr", shifted, onehot,
+    # stage 1: A[s, w, j, r] = band[s, r, left + j] via the combined
+    # one-hot (same bf16 band values as the stacked form -> bit-identical:
+    # every output is exactly one 1.0 * value product)
+    l0 = jnp.clip(lefts, 0, band_w - TRIM_W)          # (3, K)
+    oh = ((l0[:, :, None, None] + jnp.arange(TRIM_W)[None, None, :, None])
+          == jnp.arange(band_w)).astype(jnp.bfloat16)  # (3, K, 11, 428)
+    A = jnp.einsum("swjc,src->swjr", oh, bands.astype(jnp.bfloat16),
                    preferred_element_type=jnp.bfloat16)  # (3, K, 11, 21)
 
     # stage 2: TW[ro*80+o, j*21+r] = w1[o, r-ro, j]; one matmul for all 6
@@ -719,14 +730,17 @@ def categorize_windows(expiry_params, y_img, windows: ExpiryWindows):
                        y_img[_SCHARR_BASE:].astype(jnp.float32)
                        ).astype(jnp.uint8)
 
-    n_c = CARD_WIDTH - TRIM_W + 1
-    shifted = jnp.stack([bands[:, :, j:j + n_c] for j in range(TRIM_W)],
-                        axis=1).astype(jnp.bfloat16)       # (W, 11, 21, 418)
     ctops = windows.char_tops[:, digit_idx]                 # (W, 4)
     clefts = windows.char_lefts[:, digit_idx]
-    onehot = (jnp.clip(clefts, 0, n_c - 1)[..., None] ==
-              jnp.arange(n_c)[None, None, :]).astype(jnp.bfloat16)
-    A = jnp.einsum("wjrc,wkc->wkrj", shifted, onehot,
+    # combined one-hot oh[w, k, j, c] = (c == left_wk + j): the 11-way
+    # shifted band stack this replaces was rewritten by XLA into a chain
+    # of 11 full-size u8 concat fusions (11 x 99 MB/step @256, hlo_hogs
+    # round 5); u8 band values are exact in bf16 so the selection is
+    # bit-identical
+    l0 = jnp.clip(clefts, 0, CARD_WIDTH - TRIM_W)           # (W, 4)
+    oh = ((l0[..., None, None] + jnp.arange(TRIM_W)[:, None])
+          == jnp.arange(CARD_WIDTH)).astype(jnp.bfloat16)   # (W, 4, 11, 428)
+    A = jnp.einsum("wkjc,wrc->wkrj", oh, bands.astype(jnp.bfloat16),
                    preferred_element_type=jnp.bfloat16)     # (W, 4, 21, 11)
     roff = jnp.clip(ctops - band_tops[:, None], 0, EXPANDED_H - TRIM_H)
     ridx = roff[..., None] + jnp.arange(TRIM_H)[None, None, :]  # (W, 4, 16)

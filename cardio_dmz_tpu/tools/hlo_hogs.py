@@ -84,7 +84,11 @@ def rank_hlo(hlo_text, top):
             continue
         b = shape_bytes(shape_str)
         meta = _META_RE.search(line)
-        rows.append((b, name, opcode, meta.group(1) if meta else ""))
+        src = _SRC_RE.search(line)
+        label = meta.group(1) if meta else ""
+        if src:
+            label += f"  {src.group(1).split('/')[-1]}:{src.group(2)}"
+        rows.append((b, name, opcode, label))
     rows.sort(key=lambda r: -r[0])
     return rows[:top]
 
