@@ -226,10 +226,14 @@ def _window_bank(gs, cums):
     per-lane dynamic gathers (gs[traced_offset + x]) lower to serial
     element loops on TPU and made the naive staged search ~30x slower
     than the dense sweep.
+
+    Zero-padding gs (instead of clip + where) keeps every static index
+    in range, so the bank is the gather alone — the clip+where form
+    materialized gather + select_n + copy, 4 x 70 MB/step @256 streams
+    in the round-5 scan HLO (hlo_hogs), the largest non-expiry buffers.
     """
     idx = jnp.arange(_O_FULL)[:, None] + jnp.arange(CARD_WIDTH)[None, :]
-    in_rng = idx < CARD_WIDTH
-    win_full = jnp.where(in_rng, gs[jnp.clip(idx, 0, CARD_WIDTH - 1)], 0.0)
+    win_full = jnp.pad(gs, (0, _O_FULL))[idx]
     return win_full, cums[:_O_FULL]
 
 

@@ -97,6 +97,11 @@ def run(global_batch=32, iters=8, camera=False, sizes=(1, 2, 4, 8)):
     for n in sizes:
         results[n]["efficiency_vs_1dev"] = round(
             t1 / results[n]["scan_step_ms"], 3)
+    if camera:
+        tc1 = results[sizes[0]]["camera_step_ms"]
+        for n in sizes:
+            results[n]["camera_efficiency_vs_1dev"] = round(
+                tc1 / results[n]["camera_step_ms"], 3)
     return results
 
 

@@ -16,9 +16,34 @@ Generators (model name -> (inputs, labels)):
 
 import numpy as np
 
+from ..synthetic import _digit_mask, _emboss_delta
+
 CARD_BG = 140
 _FONT_MONO = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf"
 _FONT_MONO_BOLD = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf"
+
+# Training renders RELIEF glyphs by default: real card characters are
+# raised ridges whose signal lives in opposite-polarity highlight/shadow
+# edges, not printed ink (synthetic.py `_emboss_delta`; docs/expiry_docs/
+# expiry_categorization.md:61-95 — the reference corpus is ~100k crops of
+# embossed cards). The round-3/4 flat DejaVu generators trained models on
+# a different edge distribution from both the reference corpus and the
+# A/B sweeps' embossed frames, which confounded TRAINING.md's
+# retrained-vs-golden table. A `flat_frac` of flat-ink cells is kept as
+# augmentation (cards also carry printed non-embossed digits).
+FLAT_FRAC = 0.25
+
+
+def _ink_delta(rng, mask, bg=CARD_BG, flat_frac=FLAT_FRAC):
+    """Luma DELTA (int array, add to a bg-valued canvas) shading an ink
+    mask as relief under a randomized light, or as flat dark ink."""
+    if rng.uniform() < flat_frac:
+        fill = int(rng.randint(40, 90))
+        return np.round((fill - bg) * mask).astype(np.int32)
+    av = int(rng.randint(16, 29))     # around the tuned EMBOSS_AV=22
+    ah = int(rng.randint(18, 33))     # around EMBOSS_AH=25
+    tint = int(rng.randint(-70, -40))  # around EMBOSS_TINT=-55
+    return _emboss_delta(mask, av=av, ah=ah, tint=tint)
 
 # visa 4-4-4-4 / amex 4-6-5 pattern masks (n_vseg.cpp:28-31)
 _PATTERN_VISA = [1, 1, 1, 1, 0, 1, 1, 1, 1, 0, 1, 1, 1, 1, 0, 1, 1, 1, 1]
@@ -30,38 +55,21 @@ def _font(path=_FONT_MONO, size=24):
     return ImageFont.truetype(path, size)
 
 
-def _draw_glyph(canvas, ch, x, y, font, fill):
-    """Draw `ch` onto the numpy canvas with its ink top-left at (x, y)."""
-    from PIL import Image, ImageDraw
-    img = Image.fromarray(canvas)
-    draw = ImageDraw.Draw(img)
-    bbox = draw.textbbox((0, 0), ch, font=font)
-    draw.text((x - bbox[0], y - bbox[1]), ch, fill=fill, font=font)
-    canvas[:] = np.asarray(img)
-
-
 def synthetic_digit_batch(rng, batch_size, cell_shape=(27, 19), bg=CARD_BG,
                           noise=6):
     """(cells (B, 27, 19) f32 in [0,1] after the standard digit prep,
-    labels (B,) int32). Digits rendered with jitter + noise."""
-    from PIL import Image, ImageDraw
-
-    font = _font()
+    labels (B,) int32). Embossed-relief digits (flat-ink augmentation,
+    `_emboss_or_flat`) with jitter + noise — the same glyph masks the
+    A/B sweeps' synthetic frames use (synthetic._digit_mask)."""
     h, w = cell_shape
     cells = np.zeros((batch_size, h, w), np.uint8)
     labels = rng.randint(0, 10, batch_size).astype(np.int32)
     for i, d in enumerate(labels):
-        img = Image.new("L", (w, h), bg)
-        draw = ImageDraw.Draw(img)
-        s = str(d)
-        bbox = draw.textbbox((0, 0), s, font=font)
-        gw, gh = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        m = _digit_mask(int(d))
         jx, jy = rng.randint(-1, 2), rng.randint(-1, 2)
-        x = (w - gw) // 2 - bbox[0] + jx
-        y = (h - gh) // 2 - bbox[1] + jy
-        fill = int(rng.randint(40, 90))
-        draw.text((x, y), s, fill=fill, font=font)
-        a = np.asarray(img).astype(int) + rng.randint(-noise, noise + 1, (h, w))
+        m = np.roll(np.roll(m, jy, axis=0), jx, axis=1)
+        a = bg + _ink_delta(rng, m, bg)
+        a = a + rng.randint(-noise, noise + 1, (h, w))
         cells[i] = np.clip(a, 0, 255)
     # standard digit prep (morph grad + equalize + scale) happens in-graph;
     # here we train directly on normalized cells
@@ -71,20 +79,22 @@ def synthetic_digit_batch(rng, batch_size, cell_shape=(27, 19), bg=CARD_BG,
 def _render_pan_block(rng, pattern, width=18.0, offset=30, bg=CARD_BG,
                       noise=4, rows=60, pan_top=16):
     """A (rows, 428) card slab with a PAN row at pan_top following
-    `pattern` (the vseg generator's frame stand-in)."""
-    font = _font()
+    `pattern` (the vseg generator's frame stand-in). One ink mask for the
+    whole row, shaded as relief or flat per card (`_emboss_or_flat` —
+    cards share one lighting)."""
     y = np.full((rows, 428), bg, np.int32)
     if noise:
         y += rng.randint(-noise, noise + 1, y.shape)
-    y = np.clip(y, 0, 255).astype(np.uint8)
+    mask = np.zeros((rows, 428), np.float32)
     for k, m in enumerate(pattern):
         if not m:
             continue
-        d = str(rng.randint(0, 10))
+        g = _digit_mask(rng.randint(0, 10))
         x0 = offset + int(round(k * width))
-        fill = int(rng.randint(40, 90))
-        _draw_glyph(y, d, x0 + 2, pan_top + 4, font, fill)
-    return y
+        mask[pan_top:pan_top + 27, x0 + 2:x0 + 21] = np.maximum(
+            mask[pan_top:pan_top + 27, x0 + 2:x0 + 21], g)
+    y += _ink_delta(rng, mask, bg)
+    return np.clip(y, 0, 255).astype(np.uint8)
 
 
 def synthetic_vseg_batch(rng, batch_size):
@@ -126,22 +136,28 @@ def synthetic_vseg_batch(rng, batch_size):
 def _render_expiry_char(rng, ch, w=11, h=16, bg=CARD_BG, noise=3,
                         font_size=18):
     """A (16, 11) luma cell containing `ch` in the expiry glyph style
-    (tests/synthetic.py expiry renderer: bold mono, ~13px pitch)."""
-    cell = np.full((h, w), bg, np.int32)
-    if noise:
-        cell += rng.randint(-noise, noise + 1, cell.shape)
-    cell = np.clip(cell, 0, 255).astype(np.uint8)
+    (synthetic.py expiry renderer: bold mono, ~13px pitch), shaded as
+    relief by default (`_ink_delta`; flat ink as augmentation)."""
+    mask = np.zeros((h, w), np.float32)
     if ch == "/":
-        # embossed slash stroke (synthetic.draw_expiry_slash analogue)
+        # slash stroke mask (synthetic.draw_expiry_slash analogue)
         for r in range(h):
             c = int(round((1.0 - r / (h - 1)) * (w - 3)))
-            cell[r, max(c, 0):min(c + 2, w)] = int(rng.randint(40, 80))
+            mask[r, max(c, 0):min(c + 2, w)] = 1.0
     elif ch != " ":
+        from PIL import Image, ImageDraw
+        img = Image.new("L", (w, h), 0)
+        draw = ImageDraw.Draw(img)
         font = _font(_FONT_MONO_BOLD, font_size)
-        fill = int(rng.randint(30, 70))
         jx, jy = rng.randint(-1, 2), rng.randint(-1, 1)
-        _draw_glyph(cell, ch, 1 + jx, 1 + jy, font, fill)
-    return cell
+        bbox = draw.textbbox((0, 0), ch, font=font)
+        draw.text((1 + jx - bbox[0], 1 + jy - bbox[1]), ch, fill=255,
+                  font=font)
+        mask = np.asarray(img).astype(np.float32) / 255.0
+    cell = np.full((h, w), bg, np.int32) + _ink_delta(rng, mask, bg)
+    if noise:
+        cell += rng.randint(-noise, noise + 1, cell.shape)
+    return np.clip(cell, 0, 255).astype(np.uint8)
 
 
 def synthetic_slash_batch(rng, batch_size):
