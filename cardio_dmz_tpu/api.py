@@ -214,8 +214,12 @@ def _band_lines_batched(samples, boxes):
     grads = {}
     for p, name, x, y, w, h, vertical in specs:
         band = samples[p][y:y + h, x:x + w]
-        grads[(p, name)] = (sobel7(band, dx=True, dy=False),
-                            sobel7(band, dx=False, dy=True))
+        # int16 carriers: sobel7 values are int16-saturated by contract
+        # (ops/sobel.py), so the cast is exact; it halves the packed
+        # canvas bytes and fuses into the sobel output fusion
+        grads[(p, name)] = (
+            sobel7(band, dx=True, dy=False).astype(jnp.int16),
+            sobel7(band, dx=False, dy=True).astype(jnp.int16))
 
     edges_by_band = {}
     for vertical in (False, True):
@@ -232,7 +236,8 @@ def _band_lines_batched(samples, boxes):
             dx, dy = grads[(p, name)]
             # reference adaptive thresholds per band
             # (llcv_adaptive_canny7_precomputed_sobel, cv/canny.cpp:568-580)
-            mean = (jnp.sum(jnp.abs(dx)) + jnp.sum(jnp.abs(dy))
+            mean = (jnp.sum(jnp.abs(dx.astype(jnp.int32))) +
+                    jnp.sum(jnp.abs(dy.astype(jnp.int32)))
                     ).astype(jnp.float32) / (h * w)
             low = jnp.floor(mean).astype(jnp.int32)
             high = jnp.floor(3.0 * mean).astype(jnp.int32)
@@ -240,18 +245,28 @@ def _band_lines_batched(samples, boxes):
             pad = [(0, 0), (0, 0)]
             pad[pad_axis] = (0, full - (h if vertical else w))
             pad[cat_axis] = (0, _BAND_GAP)
-            for acc, a in ((dxs, dx), (dys, dy),
-                           (lows, jnp.broadcast_to(low, dx.shape)),
-                           (highs, jnp.broadcast_to(high, dx.shape))):
+            for acc, a in ((dxs, dx), (dys, dy)):
                 acc.append(jnp.pad(a, pad))
+            # thresholds are per-band scalars: carry them as a VECTOR
+            # along the concat axis (broadcast into canny's compares for
+            # free) instead of two full int32 canvases (~370 MB/step @256
+            # camera streams, hlo_hogs round 5)
+            n_pos = (h if not vertical else w) + _BAND_GAP
+            lows.append(jnp.broadcast_to(low, (n_pos,)))
+            highs.append(jnp.broadcast_to(high, (n_pos,)))
             offs.append(pos)
-            pos += (h if not vertical else w) + _BAND_GAP
+            pos += n_pos
 
+        low_v = jnp.concatenate(lows)
+        high_v = jnp.concatenate(highs)
+        if vertical:
+            low_v, high_v = low_v[None, :], high_v[None, :]
+        else:
+            low_v, high_v = low_v[:, None], high_v[:, None]
         canvas = canny7_precomputed_sobel(
             jnp.concatenate(dxs, axis=cat_axis),
             jnp.concatenate(dys, axis=cat_axis),
-            jnp.concatenate(lows, axis=cat_axis),
-            jnp.concatenate(highs, axis=cat_axis))
+            low_v, high_v)
         for off, (p, name, x, y, w, h, _) in zip(offs, group):
             if vertical:
                 edges_by_band[(p, name)] = canvas[:h, off:off + w]

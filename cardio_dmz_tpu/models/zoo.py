@@ -20,6 +20,8 @@ tests, native bf16-mult/fp32-acc for serving (verified behaviorally
 identical on the pipeline).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -141,7 +143,8 @@ def _pan_conv_matmul(params):
     """(513, 8*8*5*9) dense matrix: 3x3 correlation + pool-window column
     ordering folded into the weights (see apply_pan_conv for semantics)."""
     w = params["conv_w"].reshape(8, 9)
-    m = w[:, _PAN_IDX] * _PAN_MASK                 # (8, 513, 360)
+    pan_idx, pan_mask = _pan_tables()
+    m = w[:, pan_idx] * pan_mask                   # (8, 513, 360)
     m = m[:, :, _pool_perm((24, 15), (3, 3))]      # windows minor
     return m.transpose(1, 0, 2).reshape(513, 8 * 360)
 
@@ -233,16 +236,34 @@ def _conv_as_matmul_tables(in_hw, out_hw, k, pad):
     flat = (np.clip(ki, 0, k - 1) * k + np.clip(kj, 0, k - 1))
     flat = flat.reshape(ih * iw, oh * ow)
     mask = valid.reshape(ih * iw, oh * ow)
-    return jnp.asarray(flat, jnp.int32), jnp.asarray(mask, jnp.float32)
+    return flat.astype(np.int32), mask.astype(np.float32)
 
 
-# PAN conv: 27x19 input, 3x3 valid truncated to 24x15 (-> 3x3 pool to 8x5)
-_PAN_IDX, _PAN_MASK = _conv_as_matmul_tables((27, 19), (24, 15), 3, (0, 0))
-# expiry conv1: 16x11 input, 5x5 kernel, padding lo (4, 4) -> 20x14 out
-_EXP_C1_IDX, _EXP_C1_MASK = _conv_as_matmul_tables((16, 11), (20, 14), 5,
-                                                   (4, 4))
-# expiry conv2: 10x7 input (per map), 5x5 valid -> 6x3 out
-_EXP_C2_IDX, _EXP_C2_MASK = _conv_as_matmul_tables((10, 7), (6, 3), 5, (0, 0))
+# Tables are built LAZILY and kept as NUMPY (not at module import, not as
+# jnp arrays): jnp.asarray initializes a JAX backend — package import
+# must stay backend-free so CPU-only tools can still force jax_platforms
+# AFTER importing the package (the axon TPU plugin ignores the
+# JAX_PLATFORMS env var, and a mere import that touches the tunnel hangs
+# when the tunnel is down) — and a cached jnp array created inside a
+# traced context would leak tracers across jit traces. Numpy tables fold
+# into each graph as constants at the use sites.
+
+@functools.lru_cache(maxsize=None)
+def _pan_tables():
+    # PAN conv: 27x19 input, 3x3 valid truncated to 24x15 (-> pool to 8x5)
+    return _conv_as_matmul_tables((27, 19), (24, 15), 3, (0, 0))
+
+
+@functools.lru_cache(maxsize=None)
+def _exp_c1_tables():
+    # expiry conv1: 16x11 input, 5x5 kernel, padding lo (4, 4) -> 20x14 out
+    return _conv_as_matmul_tables((16, 11), (20, 14), 5, (4, 4))
+
+
+@functools.lru_cache(maxsize=None)
+def _exp_c2_tables():
+    # expiry conv2: 10x7 input (per map), 5x5 valid -> 6x3 out
+    return _conv_as_matmul_tables((10, 7), (6, 3), 5, (0, 0))
 
 
 def apply_expiry_conv_mm(params, img):
@@ -269,7 +290,8 @@ def apply_expiry_conv_mm(params, img):
     # 6-D strided reshape-maxpools over the tiled matmul outputs were
     # layout-shattering (XLA priced the conv1 pool at ~2 ms @256 streams)
     w1 = params["conv1_w"].reshape(50, 25)            # (50, 5*5)
-    m1 = w1[:, _EXP_C1_IDX] * _EXP_C1_MASK            # (50, 176, 280)
+    c1_idx, c1_mask = _exp_c1_tables()
+    m1 = w1[:, c1_idx] * c1_mask                      # (50, 176, 280)
     m1 = m1[:, :, _pool_perm((20, 14), (2, 2))]
     m1 = m1.transpose(1, 0, 2).reshape(176, 50 * 280)
     c1 = _dot(x, m1)                                  # (N, 50*10*7*4)
@@ -277,7 +299,8 @@ def apply_expiry_conv_mm(params, img):
     a1 = jnp.maximum(p1 + params["conv1_b"][None, :, None, None], 0.0)
 
     w2 = params["conv2_w"].reshape(40, 50, 25)
-    m2 = w2[:, :, _EXP_C2_IDX] * _EXP_C2_MASK         # (40, 50, 70, 18)
+    c2_idx, c2_mask = _exp_c2_tables()
+    m2 = w2[:, :, c2_idx] * c2_mask                   # (40, 50, 70, 18)
     m2 = m2[:, :, :, _pool_perm((6, 3), (2, 3))]
     m2 = m2.transpose(1, 2, 0, 3).reshape(50 * 70, 40 * 18)
     c2 = _dot(a1.reshape(n, 3500), m2)                # (N, 40*3*6)

@@ -68,27 +68,43 @@ def _dilate8(mask):
 
 def canny_nms(dx, dy, low):
     """Per-pixel NMS candidate mask using the reference's integer sector
-    logic (cv/canny.cpp:220-285). dx, dy: (..., H, W) int32. Returns bool."""
+    logic (cv/canny.cpp:220-285). dx, dy: (..., H, W) int (int16-saturated
+    values; int16 or int32 carrier). Returns bool."""
     # |dx|,|dy| are int16-saturated (<= 32768), so the sector comparisons fit
     # in uint32: y<<15 <= 2^30, x*TG22 <= 4.5e8, tg67x <= 2.6e9 < 2^32.
-    x = jnp.abs(dx).astype(jnp.uint32)
-    y = jnp.abs(dy).astype(jnp.uint32) << CANNY_SHIFT
-    m = jnp.abs(dx) + jnp.abs(dy)  # int32 magnitude
+    adx = jnp.abs(dx.astype(jnp.int32))
+    ady = jnp.abs(dy.astype(jnp.int32))
+    x = adx.astype(jnp.uint32)
+    y = ady.astype(jnp.uint32) << CANNY_SHIFT
+    m = adx + ady  # int32 magnitude
     s = jnp.where((dx ^ dy) < 0, -1, 1)
 
     tg22x = x * jnp.uint32(TG22)
     tg67x = tg22x + ((x + x) << CANNY_SHIFT)
 
-    # neighbor magnitudes (zero outside, matching the reference's zero border)
-    m_l = _shift2d(m, 0, -1)
-    m_r = _shift2d(m, 0, 1)
-    m_u = _shift2d(m, -1, 0)
-    m_d = _shift2d(m, 1, 0)
+    # neighbor magnitudes (zero outside, matching the reference's zero
+    # border) as SLICES of one padded plane: the _shift2d concat form
+    # materialized 8 full int32 canvas copies (XLA does not fuse concat
+    # into the compare fusion; slices of one shared pad do fuse — the
+    # shifted-copy chain was ~2 ms-est of the camera step, hlo_hogs
+    # --cycles round 5)
+    h, w = m.shape[-2], m.shape[-1]
+    mp = jnp.pad(m, [(0, 0)] * (m.ndim - 2) + [(1, 1), (1, 1)])
+
+    def nb(di, dj):
+        return lax.slice_in_dim(
+            lax.slice_in_dim(mp, 1 + di, 1 + di + h, axis=-2),
+            1 + dj, 1 + dj + w, axis=-1)
+
+    m_l = nb(0, -1)
+    m_r = nb(0, 1)
+    m_u = nb(-1, 0)
+    m_d = nb(1, 0)
     # diagonal: above col j-s, below col j+s
-    m_ul = _shift2d(m, -1, -1)
-    m_ur = _shift2d(m, -1, 1)
-    m_dl = _shift2d(m, 1, -1)
-    m_dr = _shift2d(m, 1, 1)
+    m_ul = nb(-1, -1)
+    m_ur = nb(-1, 1)
+    m_dl = nb(1, -1)
+    m_dr = nb(1, 1)
     m_diag_a = jnp.where(s == 1, m_ul, m_ur)  # above, col j-s
     m_diag_b = jnp.where(s == 1, m_dr, m_dl)  # below, col j+s
 
@@ -228,16 +244,30 @@ def _pack_bits(mask):
     w = mask.shape[-1]
     nw = -(-w // 32)
     m = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1) + [(0, nw * 32 - w)])
-    m = m.reshape(m.shape[:-1] + (nw, 32)).astype(jnp.uint32)
-    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-    packed = jnp.sum(m * weights, axis=-1, dtype=jnp.uint32)  # (..., H, nw)
-    return jnp.swapaxes(packed, -1, -2)
+    v = m.reshape(m.shape[:-1] + (nw * 32,)).astype(jnp.uint32)
+    # pairwise fold instead of a 32-wide weighted reduce: 5 strided
+    # or+shift levels on halving data (the broadcast-multiply-reduce form
+    # was ~2.7 ms-est of the camera step across its two canvases,
+    # hlo_hogs --cycles round 5). Level s combines 2s-bit groups:
+    # v[k] = v0[2k] | v0[2k+1] << s, so bit b of the final word i is
+    # column 32*i + b, identical to the weighted sum.
+    for s in (1, 2, 4, 8, 16):
+        v = v[..., 0::2] | (v[..., 1::2] << jnp.uint32(s))
+    return jnp.swapaxes(v, -1, -2)                        # (..., nw, H)
 
 
 def _unpack_bits(words, w):
-    """Inverse of _pack_bits: (..., nw, H) uint32 -> (..., H, w) bool."""
+    """Inverse of _pack_bits: (..., nw, H) uint32 -> (..., H, w) bool.
+
+    Two-level: split each word into 4 u8 bytes, then test the 8 bits per
+    byte — the bit-test broadcast rides u8 carriers at 1/4 the bytes of
+    the flat 32-wide u32 form (~100 MB/step @256 across the two camera
+    canvases, hlo_hogs round 5). Bit b of byte j of word i is column
+    32*i + 8*j + b — same order as the flat form."""
     wt = jnp.swapaxes(words, -1, -2)                     # (..., H, nw)
-    bits = (wt[..., :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    byte_sh = (jnp.arange(4, dtype=jnp.uint32) * 8)
+    b = (wt[..., None] >> byte_sh).astype(jnp.uint8)     # (..., H, nw, 4)
+    bits = (b[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
     return (bits.reshape(wt.shape[:-1] + (-1,)) != 0)[..., :w]
 
 
@@ -359,9 +389,11 @@ def canny7_precomputed_sobel(dx, dy, low, high, sweeps=DEFAULT_SWEEPS):
 
     sweeps: static hysteresis sweep count (`hysteresis_bounded`);
     sweeps=None selects the exact while_loop flood (`hysteresis`) for
-    research/oracle use.
+    research/oracle use. dx/dy accept int16 carriers (values are
+    int16-saturated either way); low/high accept broadcastable vectors
+    (per-row/per-column thresholds for packed band canvases).
     """
-    m = jnp.abs(dx) + jnp.abs(dy)
+    m = jnp.abs(dx.astype(jnp.int32)) + jnp.abs(dy.astype(jnp.int32))
     candidate = canny_nms(dx, dy, low)
     strong = candidate & (m > high)
     if sweeps is None:

@@ -230,6 +230,9 @@ def warp_gather_exact(image, xq, yq, yb, out_shape, col_bounds=None,
     # exactly like the original far-out value — FILL_OUTLIERS unchanged.
     # yb rides as int16 likewise (band bases are in [-2048, in_h); the
     # pad value `lim` keeps the per-block window minima inert).
+    # (serving passes xq/yq/yb already clipped+int16 by the producer —
+    # ops/warp.py — so these are no-ops there; the clip stays for direct
+    # int32 callers)
     lim = 672 * 32
     xq_p = jnp.clip(_pad_to(xq, hp, _OUT_LANES, edge=True),
                     -lim, lim).astype(jnp.int16)
@@ -253,8 +256,11 @@ def warp_gather_exact(image, xq, yq, yb, out_shape, col_bounds=None,
     jhi = jnp.clip(jnp.max(x0b, axis=(1, 2)) + 1, 0, in_w - 1)
     jj = jnp.arange(wp, dtype=jnp.int32)[None, :]
     picked = (jj >= jlo[:, None]) & (jj <= jhi[:, None])   # (n_blocks, wp)
-    yb_i32 = _pad_to(yb, hp, wp, value=10 ** 6)
-    yb_blocks = yb_i32.reshape(n_blocks, _ROW_BLOCK, wp)
+    # pad sentinel = lim (fits int16; 10**6 would not): padded entries can
+    # only tie the min when every real picked base is itself clipped at
+    # lim, where the window start clips identically
+    yb_w = _pad_to(yb, hp, wp, value=lim).astype(jnp.int32)
+    yb_blocks = yb_w.reshape(n_blocks, _ROW_BLOCK, wp)
     ybm = jnp.where(picked[:, None, :], yb_blocks, jnp.int32(10 ** 6))
     k = jnp.min(ybm, axis=(1, 2)) // _ALIGN
     k = jnp.clip(k, 0, in_h // _ALIGN - _WIN // _ALIGN).astype(jnp.int32)

@@ -417,6 +417,16 @@ def warp_perspective_exact(image, m_src_to_dst, out_shape,
         rr = jnp.arange(out_h, dtype=jnp.float32)[:, None]
         jjf = jnp.arange(in_w, dtype=jnp.float32)[None, :]
         yb = _band_base(minv, rr, jjf)                   # (out_h, in_w)
+        # narrow to int16 HERE so the clip+cast fuses into the coord/band
+        # producer fusions and the int32 planes never reach HBM (X/Y/yb
+        # int32 cost ~470 MB/step @256 camera streams, hlo_hogs round 5).
+        # Clipping at lim keeps every far-out coordinate far-out (see
+        # warp_gather.py: x0 = lim>>5 >= in_w, -lim < 0), so border masks
+        # and the band-window minima behave identically.
+        lim = 672 * 32
+        xq = jnp.clip(xq, -lim, lim).astype(jnp.int16)
+        yq = jnp.clip(yq, -lim, lim).astype(jnp.int16)
+        yb = jnp.clip(yb, -lim, lim).astype(jnp.int16)
         col_bounds = None
         if src_bounds is not None:
             (_, _, xtl, xtr) = src_bounds

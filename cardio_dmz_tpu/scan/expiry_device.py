@@ -353,7 +353,6 @@ def _trim_char(wide, rem, char_left, group_top, char_width):
 
     # column u of `wide` is crop column u - rem
     cols_iota = jnp.arange(_TRIM_WIDE) - rem          # crop-relative index
-    rows_iota = jnp.arange(EXPANDED_H)
     col_in = (cols_iota >= 0) & (cols_iota < cw)
     crop = jnp.where(col_in[None, :], wide, 0.0)
 
@@ -362,43 +361,55 @@ def _trim_char(wide, rem, char_left, group_top, char_width):
                      crop)
     crop = jnp.where(crop > 100, crop, 0.0)
 
-    # Edge-shave loops. Indexing sums[i] with a traced scalar lowers to a
-    # per-lane gather under the (streams x stripes x groups x chars) vmap —
-    # dominant cost of the whole seg graph. One-hot reductions keep every
-    # access a fused elementwise+reduce instead.
-    def at(sums, iota, i):
-        return jnp.sum(jnp.where(iota == i, sums, 0.0))
-
+    # Edge-shave loops, evaluated as a REACHABILITY DP instead of
+    # sequential traced reads. The loop only ever compares the current
+    # END sums (col_sums[lc] vs col_sums[rc]) and drops one end, so after
+    # t steps the state is (lc = a, rc = cw-1-(t-a)): at most 8 left
+    # positions x 8 right drops. Precompute every end-vs-end comparison
+    # once (two small one-hot matmuls for the dynamic ends), then advance
+    # an 8-wide boolean reach vector through the 7 static steps — the
+    # per-step traced one-hot reads this replaces were ~24 select+reduce
+    # fusions over the (streams x stripes x chars) batch, the two
+    # heaviest expiry lines in the round-5 camera HLO (hlo_hogs --cycles:
+    # ~3.4 ms-est combined). Bit-exact: the comparison sequence and
+    # tie-breaks are identical by induction on t.
+    n_sh = EXPANDED_W - TRIM_W + 1                        # 8 states
     col_sums = jnp.sum(crop, axis=0)
-    lc0 = jnp.asarray(0, jnp.int32)
-    rc0 = (cw - 1).astype(jnp.int32)
+    sh_iota = jnp.arange(n_sh)
+    # left8[a] = col_sums at crop col a; right8[d] = at crop col cw-1-d
+    oh_l = cols_iota[None, :] == sh_iota[:, None]
+    oh_r = cols_iota[None, :] == (cw - 1 - sh_iota)[:, None]
+    # explicit where+reduce (a tiny per-char matvec would lower to
+    # batched-tiny-dot layout copies under the stream vmap)
+    left8 = jnp.sum(jnp.where(oh_l, col_sums[None, :], 0.0), axis=-1)
+    right8 = jnp.sum(jnp.where(oh_r, col_sums[None, :], 0.0), axis=-1)
+    C = left8[:, None] <= right8[None, :]                 # (a, d)
+    T_col = cw - TRIM_W                                   # shaves needed
+    reach = sh_iota == 0
+    for t in range(EXPANDED_W - TRIM_W):
+        gl = C[sh_iota, jnp.clip(t - sh_iota, 0, n_sh - 1)]  # go-left at (a,t)
+        stepped = (jnp.concatenate([jnp.zeros((1,), bool),
+                                    (reach & gl)[:-1]]) |
+                   (reach & ~gl))
+        reach = jnp.where(t < T_col, stepped, reach)
+    lc = jnp.sum(jnp.where(reach, sh_iota, 0)).astype(jnp.int32)
+    shaves = jnp.clip(T_col, 0, EXPANDED_W - TRIM_W)
+    rc = (cw - 1 - (shaves - lc)).astype(jnp.int32)
 
-    def col_body(i, lr):
-        lc, rc = lr
-        need = (rc - lc + 1) > TRIM_W
-        shift_left = at(col_sums, cols_iota, lc) <= at(col_sums, cols_iota, rc)
-        lc2 = jnp.where(need & shift_left, lc + 1, lc)
-        rc2 = jnp.where(need & ~shift_left, rc - 1, rc)
-        return lc2, rc2
-
-    lc, rc = lax.fori_loop(0, EXPANDED_W - TRIM_W, col_body, (lc0, rc0),
-                           unroll=True)
-
+    # row shave: ch is STATIC (21 -> always 5 shaves), and the end rows
+    # are static indices (tops 0..5, bottoms 15..20) — plain slices
     row_mask = (cols_iota >= lc) & (cols_iota <= rc)
     row_sums = jnp.sum(jnp.where(row_mask[None, :], crop, 0.0), axis=1)
-    tr0 = jnp.asarray(0, jnp.int32)
-    br0 = jnp.asarray(EXPANDED_H - 1, jnp.int32)
-
-    def row_body(i, tb):
-        tr, br = tb
-        need = (br - tr + 1) > TRIM_H
-        shift_top = at(row_sums, rows_iota, tr) <= at(row_sums, rows_iota, br)
-        tr2 = jnp.where(need & shift_top, tr + 1, tr)
-        br2 = jnp.where(need & ~shift_top, br - 1, br)
-        return tr2, br2
-
-    tr, br = lax.fori_loop(0, EXPANDED_H - TRIM_H, row_body, (tr0, br0),
-                           unroll=True)
+    n_rs = EXPANDED_H - TRIM_H + 1                        # 6 states
+    rs_iota = jnp.arange(n_rs)
+    C2 = row_sums[:n_rs][:, None] <= row_sums[EXPANDED_H - n_rs:][None, ::-1]
+    reach2 = rs_iota == 0
+    for t in range(EXPANDED_H - TRIM_H):
+        gl = C2[rs_iota, jnp.clip(t - rs_iota, 0, n_rs - 1)]
+        reach2 = (jnp.concatenate([jnp.zeros((1,), bool),
+                                   (reach2 & gl)[:-1]]) |
+                  (reach2 & ~gl))
+    tr = jnp.sum(jnp.where(reach2, rs_iota, 0)).astype(jnp.int32)
     return (top0 + tr).astype(jnp.int32), (left0 + lc).astype(jnp.int32), valid
 
 
