@@ -402,7 +402,12 @@ def _trim_char(wide, rem, char_left, group_top, char_width):
     row_sums = jnp.sum(jnp.where(row_mask[None, :], crop, 0.0), axis=1)
     n_rs = EXPANDED_H - TRIM_H + 1                        # 6 states
     rs_iota = jnp.arange(n_rs)
-    C2 = row_sums[:n_rs][:, None] <= row_sums[EXPANDED_H - n_rs:][None, ::-1]
+    # bot_rev[d] = row_sums[EXPANDED_H - 1 - d], built from static
+    # 1-element slices: a ::-1 reverse here crashes the TPU fusion
+    # emitter (jellyfish ReverseInput window check, libtpu F-check)
+    bot_rev = jnp.concatenate(
+        [row_sums[EXPANDED_H - 1 - d:EXPANDED_H - d] for d in range(n_rs)])
+    C2 = row_sums[:n_rs][:, None] <= bot_rev[None, :]
     reach2 = rs_iota == 0
     for t in range(EXPANDED_H - TRIM_H):
         gl = C2[rs_iota, jnp.clip(t - rs_iota, 0, n_rs - 1)]
