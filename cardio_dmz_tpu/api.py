@@ -230,32 +230,43 @@ def _band_lines_batched(samples, boxes):
         pad_axis = -1 if not vertical else -2
         full = max(s[5] if vertical else s[4] for s in group)
 
-        dxs, dys, lows, highs, offs = [], [], [], [], []
+        dxs, dys, offs, lens = [], [], [], []
         pos = 0
         for p, name, x, y, w, h, _ in group:
             dx, dy = grads[(p, name)]
-            # reference adaptive thresholds per band
-            # (llcv_adaptive_canny7_precomputed_sobel, cv/canny.cpp:568-580)
-            mean = (jnp.sum(jnp.abs(dx.astype(jnp.int32))) +
-                    jnp.sum(jnp.abs(dy.astype(jnp.int32)))
-                    ).astype(jnp.float32) / (h * w)
-            low = jnp.floor(mean).astype(jnp.int32)
-            high = jnp.floor(3.0 * mean).astype(jnp.int32)
-
             pad = [(0, 0), (0, 0)]
             pad[pad_axis] = (0, full - (h if vertical else w))
             pad[cat_axis] = (0, _BAND_GAP)
-            for acc, a in ((dxs, dx), (dys, dy)):
-                acc.append(jnp.pad(a, pad))
-            # thresholds are per-band scalars: carry them as a VECTOR
-            # along the concat axis (broadcast into canny's compares for
-            # free) instead of two full int32 canvases (~370 MB/step @256
-            # camera streams, hlo_hogs round 5)
-            n_pos = (h if not vertical else w) + _BAND_GAP
-            lows.append(jnp.broadcast_to(low, (n_pos,)))
-            highs.append(jnp.broadcast_to(high, (n_pos,)))
+            dxs.append(jnp.pad(dx, pad))
+            dys.append(jnp.pad(dy, pad))
             offs.append(pos)
-            pos += n_pos
+            lens.append(h if not vertical else w)
+            pos += lens[-1] + _BAND_GAP
+
+        dxc = jnp.concatenate(dxs, axis=cat_axis)
+        dyc = jnp.concatenate(dys, axis=cat_axis)
+
+        # reference adaptive thresholds per band
+        # (llcv_adaptive_canny7_precomputed_sobel, cv/canny.cpp:568-580),
+        # computed from ONE |dx|+|dy| pass over the packed canvas: pads
+        # and moats are zero-gradient, so each band's integer sum is a
+        # slice of the per-line sums along the concat axis (the 24
+        # separate per-band reductions this replaces re-read every band
+        # plane, ~3 ms-est of the camera step, hlo_hogs --cycles).
+        # Thresholds then ride as VECTORS along the concat axis
+        # (broadcast into canny's compares for free) instead of two full
+        # int32 broadcast_to canvases (~370 MB/step @256).
+        absc = (jnp.abs(dxc.astype(jnp.int32)) +
+                jnp.abs(dyc.astype(jnp.int32)))
+        line_sums = jnp.sum(absc, axis=pad_axis)          # (pos,) int32
+        lows, highs = [], []
+        for (p, name, x, y, w, h, _), off, ln in zip(group, offs, lens):
+            band_sum = jnp.sum(line_sums[off:off + ln])
+            mean = band_sum.astype(jnp.float32) / (h * w)
+            low = jnp.floor(mean).astype(jnp.int32)
+            high = jnp.floor(3.0 * mean).astype(jnp.int32)
+            lows.append(jnp.broadcast_to(low, (ln + _BAND_GAP,)))
+            highs.append(jnp.broadcast_to(high, (ln + _BAND_GAP,)))
 
         low_v = jnp.concatenate(lows)
         high_v = jnp.concatenate(highs)
@@ -263,10 +274,7 @@ def _band_lines_batched(samples, boxes):
             low_v, high_v = low_v[None, :], high_v[None, :]
         else:
             low_v, high_v = low_v[:, None], high_v[:, None]
-        canvas = canny7_precomputed_sobel(
-            jnp.concatenate(dxs, axis=cat_axis),
-            jnp.concatenate(dys, axis=cat_axis),
-            low_v, high_v)
+        canvas = canny7_precomputed_sobel(dxc, dyc, low_v, high_v)
         for off, (p, name, x, y, w, h, _) in zip(offs, group):
             if vertical:
                 edges_by_band[(p, name)] = canvas[:h, off:off + w]

@@ -259,15 +259,13 @@ def _pack_bits(mask):
 def _unpack_bits(words, w):
     """Inverse of _pack_bits: (..., nw, H) uint32 -> (..., H, w) bool.
 
-    Two-level: split each word into 4 u8 bytes, then test the 8 bits per
-    byte — the bit-test broadcast rides u8 carriers at 1/4 the bytes of
-    the flat 32-wide u32 form (~100 MB/step @256 across the two camera
-    canvases, hlo_hogs round 5). Bit b of byte j of word i is column
-    32*i + 8*j + b — same order as the flat form."""
+    Kept as the flat 32-wide broadcast: a "cheaper" two-level u8 variant
+    (split words into bytes, then test 8 bits per byte) was tried in
+    round 5 and measured WORSE — its minor axis of 8 wastes 120 of the
+    TPU's 128 vreg lanes, and XLA inserts ~300 MB/step of layout copies
+    to repack (hlo_hogs bytes, camera @256)."""
     wt = jnp.swapaxes(words, -1, -2)                     # (..., H, nw)
-    byte_sh = (jnp.arange(4, dtype=jnp.uint32) * 8)
-    b = (wt[..., None] >> byte_sh).astype(jnp.uint8)     # (..., H, nw, 4)
-    bits = (b[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    bits = (wt[..., :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
     return (bits.reshape(wt.shape[:-1] + (-1,)) != 0)[..., :w]
 
 
