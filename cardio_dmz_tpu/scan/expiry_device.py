@@ -354,12 +354,18 @@ def _trim_char(wide, rem, char_left, group_top, char_width):
     # column u of `wide` is crop column u - rem
     cols_iota = jnp.arange(_TRIM_WIDE) - rem          # crop-relative index
     col_in = (cols_iota >= 0) & (cols_iota < cw)
-    crop = jnp.where(col_in[None, :], wide, 0.0)
-
-    m = jnp.max(jnp.abs(crop))
-    crop = jnp.where(m > 0, jnp.round(crop * (255.0 / jnp.maximum(m, 1e-6))),
-                     crop)
-    crop = jnp.where(crop > 100, crop, 0.0)
+    # int16 carriers end-to-end: band values (<= 4080), normalized values
+    # (<= 255) and the shave sums (<= 34*255) are all small integers, so
+    # int16 halves every materialized trim tensor over the
+    # (streams x stripes x chars) batch; only the normalize multiply
+    # runs in f32 (on the same integer inputs -> identical rounding).
+    crop0 = jnp.where(col_in[None, :], wide, 0)       # int16
+    m = jnp.max(jnp.abs(crop0.astype(jnp.int32)))
+    mf = jnp.maximum(m.astype(jnp.float32), 1e-6)
+    crop = jnp.round(crop0.astype(jnp.float32) * (255.0 / mf)
+                     ).astype(jnp.int16)
+    crop = jnp.where(m > 0, crop, crop0)
+    crop = jnp.where(crop > 100, crop, 0)
 
     # Edge-shave loops, evaluated as a REACHABILITY DP instead of
     # sequential traced reads. The loop only ever compares the current
@@ -381,8 +387,8 @@ def _trim_char(wide, rem, char_left, group_top, char_width):
     oh_r = cols_iota[None, :] == (cw - 1 - sh_iota)[:, None]
     # explicit where+reduce (a tiny per-char matvec would lower to
     # batched-tiny-dot layout copies under the stream vmap)
-    left8 = jnp.sum(jnp.where(oh_l, col_sums[None, :], 0.0), axis=-1)
-    right8 = jnp.sum(jnp.where(oh_r, col_sums[None, :], 0.0), axis=-1)
+    left8 = jnp.sum(jnp.where(oh_l, col_sums[None, :], 0), axis=-1)
+    right8 = jnp.sum(jnp.where(oh_r, col_sums[None, :], 0), axis=-1)
     C = left8[:, None] <= right8[None, :]                 # (a, d)
     T_col = cw - TRIM_W                                   # shaves needed
     reach = sh_iota == 0
@@ -399,7 +405,7 @@ def _trim_char(wide, rem, char_left, group_top, char_width):
     # row shave: ch is STATIC (21 -> always 5 shaves), and the end rows
     # are static indices (tops 0..5, bottoms 15..20) — plain slices
     row_mask = (cols_iota >= lc) & (cols_iota <= rc)
-    row_sums = jnp.sum(jnp.where(row_mask[None, :], crop, 0.0), axis=1)
+    row_sums = jnp.sum(jnp.where(row_mask[None, :], crop, 0), axis=1)
     n_rs = EXPANDED_H - TRIM_H + 1                        # 6 states
     rs_iota = jnp.arange(n_rs)
     # bot_rev[d] = row_sums[EXPANDED_H - 1 - d], built from static
@@ -644,7 +650,10 @@ def best_expiry_seg_device(slash_params, y_img, vseg_y, enabled) -> ExpiryWindow
         blocks = coarse_blocks(band, _TRIM_WIDE)          # (21, Q, 34)
         ohq = (q[:, None] == jnp.arange(blocks.shape[-2])).astype(
             jnp.float32)
-        wide = jnp.einsum("kq,rqu->kru", ohq, blocks)     # (K, 21, 34)
+        # int16 window values (sobel band <= 4080, exact): halves the
+        # per-char trim tensors downstream (_trim_char)
+        wide = jnp.einsum("kq,rqu->kru", ohq, blocks
+                          ).astype(jnp.int16)             # (K, 21, 34)
         return jax.vmap(_trim_char)(wide, rem, lefts_s, tops_s, cw_s)
 
     tops_f, lefts_f, valid_f = jax.vmap(stripe_trim)(
